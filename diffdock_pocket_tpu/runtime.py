@@ -1,0 +1,30 @@
+"""Runtime/JAX environment setup shared by all entry points.
+
+Centralizes the persistent compilation cache (first TPU compiles take
+20-40s; cached reruns are instant) and small config knobs.  Call
+``setup()`` once at process start; it is idempotent.
+"""
+from __future__ import annotations
+
+import os
+
+_DONE = False
+
+
+def setup(platform: str | None = None, cache_dir: str | None = None) -> None:
+    global _DONE
+    if platform is not None:
+        os.environ["JAX_PLATFORMS"] = platform
+    if _DONE:
+        return
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "DDP_TPU_JAX_CACHE",
+            os.path.join(os.path.dirname(__file__), os.pardir, ".cache", "jax_cache"),
+        )
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _DONE = True
