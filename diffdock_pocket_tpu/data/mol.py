@@ -1,0 +1,266 @@
+"""Lightweight small-molecule model with featurization.
+
+Replaces the RDKit molecule surface that the reference featurizer consumes
+(datasets/process_mols.py lig_atom_featurizer:115-140, get_lig_graph:432-454;
+utils/torsion.py get_transformation_mask:16-65).  This framework ships its
+own chemistry model because the TPU image has no RDKit.
+
+Feature semantics:
+- atomic number, degree (incl. H), formal charge, numH, ring membership
+  counts and ring-size flags, aromaticity: computed from the explicit
+  connection table (+ implicit-H estimation from standard valences).
+- chirality: CHI_UNSPECIFIED unless SDF parity is present (documented
+  simplification — chirality is a categorical embedding input only).
+- hybridization: heuristic from bond orders (triple/cumulated -> SP,
+  double/aromatic -> SP2, else SP3); 'misc' for non-organic centers.
+- implicit valence: estimated as max(0, allowed_valence - bond order sum).
+
+Ring perception uses networkx minimum_cycle_basis (SSSR-equivalent ring
+counts for drug-like ligands).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import networkx as nx
+import numpy as np
+
+from . import chem
+from .chem import ALLOWABLE_FEATURES as AF
+from .chem import safe_index
+
+
+@dataclass
+class Bond:
+    a: int
+    b: int
+    type: int  # 1 single, 2 double, 3 triple, 4 aromatic
+
+
+@dataclass
+class Molecule:
+    symbols: list[str]
+    coords: np.ndarray  # [N, 3] float32
+    bonds: list[Bond]
+    charges: list[int] | None = None
+    name: str = ""
+
+    def __post_init__(self):
+        if self.charges is None:
+            self.charges = [0] * len(self.symbols)
+        self.coords = np.asarray(self.coords, dtype=np.float32)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_atoms(self) -> int:
+        return len(self.symbols)
+
+    def neighbors(self) -> list[list[int]]:
+        nbr = [[] for _ in range(self.n_atoms)]
+        for b in self.bonds:
+            nbr[b.a].append(b.b)
+            nbr[b.b].append(b.a)
+        return nbr
+
+    def graph(self) -> nx.Graph:
+        g = nx.Graph()
+        g.add_nodes_from(range(self.n_atoms))
+        g.add_edges_from((b.a, b.b) for b in self.bonds)
+        return g
+
+    def perceive_bonds(self):
+        """Distance-based single-bond perception (for PDB ligand inputs)."""
+        coords = self.coords
+        n = self.n_atoms
+        radii = np.asarray([chem.covalent_radius(s) for s in self.symbols])
+        d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+        thr = (radii[:, None] + radii[None, :]) * 1.25 + 0.1
+        self.bonds = [
+            Bond(i, j, 1)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if d[i, j] < thr[i, j] and d[i, j] > 0.4
+        ]
+
+    def remove_hydrogens(self) -> "Molecule":
+        keep = [i for i, s in enumerate(self.symbols) if s != "H"]
+        remap = {old: new for new, old in enumerate(keep)}
+        bonds = [
+            Bond(remap[b.a], remap[b.b], b.type)
+            for b in self.bonds
+            if b.a in remap and b.b in remap
+        ]
+        return Molecule(
+            [self.symbols[i] for i in keep],
+            self.coords[keep],
+            bonds,
+            [self.charges[i] for i in keep],
+            name=self.name,
+        )
+
+    # ------------------------------------------------------------------
+    def _h_counts(self) -> tuple[list[int], list[int]]:
+        """(explicit+implicit H per heavy atom, implicit valence)."""
+        nbr = self.neighbors()
+        bond_order = [0.0] * self.n_atoms
+        for b in self.bonds:
+            o = 1.5 if b.type == 4 else float(b.type)
+            bond_order[b.a] += o
+            bond_order[b.b] += o
+        numh, impl = [], []
+        for i, s in enumerate(self.symbols):
+            explicit_h = sum(1 for j in nbr[i] if self.symbols[j] == "H")
+            val = chem.DEFAULT_VALENCE.get(s)
+            if val is None:
+                numh.append(explicit_h)
+                impl.append(0)
+                continue
+            # charge-adjusted valence (N+ -> 4, O- -> 1, C- -> 3, ...)
+            q = self.charges[i]
+            if s in ("N", "P"):
+                val = val + q
+            elif s in ("O", "S"):
+                val = val + q
+            elif s == "C":
+                val = val - abs(q)
+            missing = int(round(max(0.0, val - bond_order[i])))
+            numh.append(explicit_h + missing)
+            impl.append(missing)
+        return numh, impl
+
+    def ring_info(self):
+        """(rings list of atom sets, per-atom ring membership count)."""
+        g = self.graph()
+        try:
+            rings = [set(c) for c in nx.minimum_cycle_basis(g)]
+        except Exception:
+            rings = [set(c) for c in nx.cycle_basis(g)]
+        counts = [0] * self.n_atoms
+        for r in rings:
+            for i in r:
+                counts[i] += 1
+        return rings, counts
+
+    def aromatic_flags(self) -> list[bool]:
+        flags = [False] * self.n_atoms
+        for b in self.bonds:
+            if b.type == 4:
+                flags[b.a] = True
+                flags[b.b] = True
+        return flags
+
+    def hybridizations(self) -> list[str]:
+        nbr_orders = [[] for _ in range(self.n_atoms)]
+        for b in self.bonds:
+            o = 1.5 if b.type == 4 else float(b.type)
+            nbr_orders[b.a].append(o)
+            nbr_orders[b.b].append(o)
+        out = []
+        for i, s in enumerate(self.symbols):
+            orders = nbr_orders[i]
+            if s not in chem.DEFAULT_VALENCE:
+                out.append("misc")
+            elif any(o == 3 for o in orders) or sum(1 for o in orders if o == 2) >= 2:
+                out.append("SP")
+            elif any(o >= 1.5 for o in orders):
+                out.append("SP2")
+            else:
+                out.append("SP3")
+        return out
+
+    # ------------------------------------------------------------------
+    def featurize(self) -> np.ndarray:
+        """Per-atom categorical features [N, 16] (reference
+        lig_atom_featurizer order, process_mols.py:115-140)."""
+        numh, impl = self._h_counts()
+        rings, ring_counts = self.ring_info()
+        aro = self.aromatic_flags()
+        hyb = self.hybridizations()
+        nbr = self.neighbors()
+        in_ring_of = {
+            size: [False] * self.n_atoms for size in (3, 4, 5, 6, 7, 8)
+        }
+        for r in rings:
+            if len(r) in in_ring_of:
+                for i in r:
+                    in_ring_of[len(r)][i] = True
+
+        feats = []
+        for i, s in enumerate(self.symbols):
+            total_degree = len(nbr[i]) + impl[i]
+            feats.append(
+                [
+                    safe_index(AF["possible_atomic_num_list"], chem.atomic_number(s)),
+                    0,  # chirality: CHI_UNSPECIFIED (see module docstring)
+                    safe_index(AF["possible_degree_list"], total_degree),
+                    safe_index(AF["possible_formal_charge_list"], self.charges[i]),
+                    safe_index(AF["possible_implicit_valence_list"], impl[i]),
+                    safe_index(AF["possible_numH_list"], numh[i]),
+                    safe_index(AF["possible_number_radical_e_list"], 0),
+                    safe_index(AF["possible_hybridization_list"], hyb[i]),
+                    AF["possible_is_aromatic_list"].index(bool(aro[i])),
+                    safe_index(AF["possible_numring_list"], ring_counts[i]),
+                    AF["possible_is_in_ring3_list"].index(in_ring_of[3][i]),
+                    AF["possible_is_in_ring4_list"].index(in_ring_of[4][i]),
+                    AF["possible_is_in_ring5_list"].index(in_ring_of[5][i]),
+                    AF["possible_is_in_ring6_list"].index(in_ring_of[6][i]),
+                    AF["possible_is_in_ring7_list"].index(in_ring_of[7][i]),
+                    AF["possible_is_in_ring8_list"].index(in_ring_of[8][i]),
+                ]
+            )
+        return np.asarray(feats, dtype=np.int32)
+
+    def bond_arrays(self):
+        """Directed edge list [2E, 2] + one-hot type [2E, 4] (reference
+        get_lig_graph:437-448 — both directions per bond)."""
+        idx, types = [], []
+        for b in self.bonds:
+            t = b.type - 1 if 1 <= b.type <= 4 else 0
+            idx.append((b.a, b.b))
+            idx.append((b.b, b.a))
+            types += [t, t]
+        if not idx:
+            return np.zeros((0, 2), np.int32), np.zeros((0, 4), np.float32)
+        onehot = np.eye(chem.NUM_BOND_TYPES, dtype=np.float32)[types]
+        return np.asarray(idx, dtype=np.int32), onehot
+
+    # ------------------------------------------------------------------
+    def rotatable_bonds(self):
+        """Rotatable-bond detection + rotation masks.
+
+        Semantics mirror reference get_transformation_mask
+        (utils/torsion.py:16-65): a bond is rotatable iff removing it
+        disconnects the graph and the smaller component has > 1 atom; the
+        smaller component rotates; the bond is oriented (u, v) with v inside
+        the rotated component.
+
+        Returns (bond_index [T, 2], rotate_mask [T, N] bool).
+        """
+        g = self.graph()
+        n = self.n_atoms
+        bond_index, masks = [], []
+        for b in self.bonds:
+            if b.a == b.b:
+                continue
+            g.remove_edge(b.a, b.b)
+            if not nx.has_path(g, b.a, b.b):
+                comp_a = nx.node_connected_component(g, b.a)
+                comp_b = nx.node_connected_component(g, b.b)
+                small, u, v = (
+                    (comp_a, b.b, b.a) if len(comp_a) <= len(comp_b) else (comp_b, b.a, b.b)
+                )
+                if len(small) > 1:
+                    m = np.zeros(n, dtype=bool)
+                    m[list(small)] = True
+                    bond_index.append((u, v))
+                    masks.append(m)
+            g.add_edge(b.a, b.b)
+        if not bond_index:
+            return np.zeros((0, 2), np.int32), np.zeros((0, n), bool)
+        return np.asarray(bond_index, dtype=np.int32), np.asarray(masks)
+
+    def with_coords(self, coords: np.ndarray) -> "Molecule":
+        return Molecule(
+            list(self.symbols), np.asarray(coords, np.float32), list(self.bonds),
+            list(self.charges), name=self.name,
+        )

@@ -1,0 +1,592 @@
+"""All-atom SE(3)-equivariant score/confidence model (the flagship).
+
+Capability parity with the reference all-atom TensorProductScoreModel
+(models/all_atom_score_model.py:21-653): three node types (ligand atoms,
+receptor residues, receptor atoms), 9 tensor-product convs per layer
+(3 intra + 6 directed cross), last-layer skip optimisation, center conv for
+tr/rot scores with sigma-conditioned magnitude MLPs, pseudotorque bond convs
+for ligand torsions and side-chain chi angles, and a confidence mode with
+pooled ligand + flexible-atom scalars.
+
+TPU-native redesign (vs. the reference's per-forward torch_cluster graphs and
+scatter ops):
+- batch-first padded arrays with masks ([B, NL/NR/NA, ...]); jit compiles
+  once per bucket;
+- ligand radius graph / atom kNN graph / lig-atom cross edges are fixed-K
+  nearest-neighbor lists built on device (ops/neighbors.py);
+- lig<->rec cross edges use a *dense pair block* [B, NL, NR] with a
+  (sigma-dependent) adjacency mask — pocket-scale sizes make all-pairs
+  cheaper and far more MXU-friendly than gather/scatter edge lists;
+- reversed edge families (al, ra) use batched segment means;
+- sigma embeddings are computed once per graph and broadcast (every node of a
+  graph shares t);
+- so3/torus score norms are HBM-resident table lookups passed in by the
+  caller — no host round trips (the reference calls .cpu() on every forward,
+  all_atom_score_model.py:384,407,433).
+
+Known deviation (documented): the reference's non-fixed center conv indexes
+ligand node features by *graph id* (all_atom_score_model.py:362, a known
+quirk); we always use the ligand atom's own features (the fixed_center_conv=
+True semantics), which is the sensible variant in a batch-first layout.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import diffusion
+from ..graph import ComplexGraph
+from ..ops import aggregate, neighbors, spherical
+from ..ops.irreps import Irreps, feature_ladder, sh_irreps
+from ..ops.tensor_product import FullTensorProduct
+from .config import ModelConfig
+from .encoders import AtomEncoder
+from .layers import MLP, GaussianSmearing, IrrepsBatchNorm, TPConv
+from ..data.chem import (
+    LIG_FEATURE_DIMS,
+    REC_ATOM_FEATURE_DIMS,
+    REC_RESIDUE_FEATURE_DIMS,
+)
+
+Array = jax.Array
+
+
+def _broadcast_nodes(x: Array, n: int) -> Array:
+    """[B, D] -> [B, n, D]."""
+    return jnp.broadcast_to(x[:, None, :], (x.shape[0], n, x.shape[-1]))
+
+
+def _pad_features(x: Array, dim: int) -> Array:
+    if x.shape[-1] == dim:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, dim - x.shape[-1])])
+
+
+class AllAtomScoreModel(nn.Module):
+    cfg: ModelConfig
+
+    def _smooth_weight(self, d: Array, max_norm) -> Array:
+        """Cosine edge down-weighting (reference get_edge_weight,
+        all_atom_score_model.py:438-442); 1.0 when smooth_edges is off."""
+        if not self.cfg.smooth_edges:
+            return jnp.ones_like(d)
+        x = jnp.clip(d * jnp.pi / max_norm, a_max=jnp.pi)
+        return 0.5 * (jnp.cos(x) + 1.0)
+
+    @nn.compact
+    def __call__(
+        self,
+        g: ComplexGraph,  # batched [B, ...]
+        t: dict[str, Array],  # 'tr','rot','tor','sc_tor' each [B]
+        score_norms: Optional[dict[str, Array]] = None,  # 'rot','tor','sc_tor' [B]
+        *,
+        train: bool = False,
+    ):
+        cfg = self.cfg
+        det = not train
+        ura = not train  # batch-norm running averages at eval
+        B, NL = g.lig_pos.shape[:2]
+        NR = g.rec_pos.shape[1]
+        NA = g.atom_pos.shape[1]
+        ns, nv = cfg.ns, cfg.nv
+
+        if cfg.confidence_mode:
+            sigma_tr, sigma_rot, sigma_tor, sigma_sc = (
+                t["tr"], t["rot"], t["tor"], t["sc_tor"],
+            )
+        else:
+            sigma_tr, sigma_rot, sigma_tor, sigma_sc = cfg.sigma.t_to_sigma(
+                t["tr"], t["rot"], t["tor"], t["sc_tor"]
+            )
+
+        # ---- sigma embedding (graph level; all nodes share t) -------------
+        emb_fn = diffusion.make_timestep_embedding(
+            cfg.embedding_type, cfg.sigma_embed_dim, cfg.embedding_scale
+        )
+        if cfg.separate_noise_schedule:
+            temb = jnp.concatenate(
+                [emb_fn(t[k]) for k in ("tr", "rot", "tor", "sc_tor")], axis=-1
+            )
+        else:
+            temb = emb_fn(t["tr"])  # [B, D]
+        D = temb.shape[-1]
+
+        # ---- RBF expansions ----------------------------------------------
+        rbf_lig = GaussianSmearing(0.0, cfg.lig_max_radius, cfg.distance_embed_dim)
+        rbf_rec = GaussianSmearing(0.0, cfg.rec_max_radius, cfg.distance_embed_dim)
+        rbf_cross = GaussianSmearing(0.0, cfg.cross_max_distance, cfg.cross_distance_embed_dim)
+
+        # ---- node encoders ------------------------------------------------
+        lig_x = AtomEncoder(ns, LIG_FEATURE_DIMS, cfg.use_old_atom_encoder)(
+            g.lig_feat, _broadcast_nodes(temb, NL)
+        )
+        rec_feat = g.rec_feat
+        if cfg.no_aminoacid_identities:
+            rec_feat = rec_feat * 0
+        rec_extra = jnp.concatenate(
+            [_broadcast_nodes(temb, NR), g.rec_esm], axis=-1
+        )
+        rec_x = AtomEncoder(ns, REC_RESIDUE_FEATURE_DIMS, cfg.use_old_atom_encoder)(
+            rec_feat, rec_extra
+        )
+        atom_x = AtomEncoder(ns, REC_ATOM_FEATURE_DIMS, cfg.use_old_atom_encoder)(
+            g.atom_feat, _broadcast_nodes(temb, NA)
+        )
+
+        sh_dim = (cfg.sh_lmax + 1) ** 2
+        shl = lambda vec: spherical.sh_ladder(cfg.sh_lmax, vec)
+
+        # ==================================================================
+        # Edge families (built once; geometry is fixed during one forward)
+        # ==================================================================
+
+        # -- ligand bond edges [B, EB] -------------------------------------
+        bsrc, bdst = g.lig_bond_index[..., 0], g.lig_bond_index[..., 1]
+        bond_vec = neighbors.gather_nodes(g.lig_pos, bdst) - neighbors.gather_nodes(g.lig_pos, bsrc)
+        bond_d = jnp.linalg.norm(bond_vec, axis=-1)
+        EB = bsrc.shape[1]
+        bond_raw = jnp.concatenate(
+            [g.lig_bond_attr, _broadcast_nodes(temb, EB), rbf_lig(bond_d)], axis=-1
+        )
+        bond_sh = shl(bond_vec)
+        bond_w = self._smooth_weight(bond_d, cfg.lig_max_radius)
+
+        # -- ligand radius K-list [B, NL, KL] ------------------------------
+        lnbr_idx, lnbr_ok = neighbors.topk_neighbors(
+            g.lig_pos, g.lig_mask, g.lig_pos, g.lig_mask,
+            cfg.lig_max_neighbors, cutoff=cfg.lig_max_radius, exclude_self=True,
+        )
+        lnbr_vec = neighbors.gather_nodes(g.lig_pos, lnbr_idx) - g.lig_pos[:, :, None, :]
+        lnbr_d = jnp.linalg.norm(lnbr_vec, axis=-1)
+        KL = cfg.lig_max_neighbors
+        lnbr_raw = jnp.concatenate(
+            [
+                jnp.zeros((B, NL, KL, cfg.in_lig_edge_features)),
+                jnp.broadcast_to(temb[:, None, None, :], (B, NL, KL, D)),
+                rbf_lig(lnbr_d),
+            ],
+            axis=-1,
+        )
+        lnbr_sh = shl(lnbr_vec)
+        lnbr_w = self._smooth_weight(lnbr_d, cfg.lig_max_radius)
+
+        lig_edge_mlp = MLP([ns, ns], dropout=cfg.dropout)
+        bond_attr = lig_edge_mlp(bond_raw, deterministic=det)
+        lnbr_attr = lig_edge_mlp(lnbr_raw, deterministic=det)
+
+        # -- receptor residue K-list [B, NR, KR] (precomputed on host) -----
+        rnbr_idx, rnbr_ok = g.rec_nbr_idx, g.rec_nbr_mask
+        rnbr_vec = neighbors.gather_nodes(g.rec_pos, rnbr_idx) - g.rec_pos[:, :, None, :]
+        rnbr_d = jnp.linalg.norm(rnbr_vec, axis=-1)
+        KR = rnbr_idx.shape[-1]
+        rnbr_raw = jnp.concatenate(
+            [jnp.broadcast_to(temb[:, None, None, :], (B, NR, KR, D)), rbf_rec(rnbr_d)],
+            axis=-1,
+        )
+        rnbr_sh = shl(rnbr_vec)
+        rnbr_w = self._smooth_weight(rnbr_d, cfg.rec_max_radius)
+        rnbr_attr = MLP([ns, ns], dropout=cfg.dropout)(rnbr_raw, deterministic=det)
+
+        # -- receptor atom kNN K-list [B, NA, KA] (rebuilt every forward —
+        #    side-chain atoms move during sampling; reference all_atom:524)
+        anbr_idx, anbr_ok = neighbors.topk_neighbors(
+            g.atom_pos, g.atom_mask, g.atom_pos, g.atom_mask,
+            cfg.atom_max_neighbors, exclude_self=True,
+        )
+        anbr_vec = neighbors.gather_nodes(g.atom_pos, anbr_idx) - g.atom_pos[:, :, None, :]
+        anbr_d = jnp.linalg.norm(anbr_vec, axis=-1)
+        KA = cfg.atom_max_neighbors
+        anbr_raw = jnp.concatenate(
+            [jnp.broadcast_to(temb[:, None, None, :], (B, NA, KA, D)), rbf_lig(anbr_d)],
+            axis=-1,
+        )
+        anbr_sh = shl(anbr_vec)
+        anbr_w = self._smooth_weight(anbr_d, cfg.lig_max_radius)
+        anbr_attr = MLP([ns, ns], dropout=cfg.dropout)(anbr_raw, deterministic=det)
+
+        # -- lig<->rec dense pair block [B, NL, NR] ------------------------
+        if cfg.dynamic_max_cross:
+            cross_cutoff = sigma_tr * 3.0 + 20.0  # [B]
+        else:
+            cross_cutoff = jnp.full((B,), cfg.cross_max_distance)
+        lr_vec = g.rec_pos[:, None, :, :] - g.lig_pos[:, :, None, :]  # rec - lig
+        lr_d = jnp.linalg.norm(lr_vec, axis=-1)
+        lr_ok = (
+            g.lig_mask[:, :, None]
+            & g.rec_mask[:, None, :]
+            & (lr_d < cross_cutoff[:, None, None])
+        )
+        lr_raw = jnp.concatenate(
+            [
+                jnp.broadcast_to(temb[:, None, None, :], (B, NL, NR, D)),
+                rbf_cross(lr_d),
+            ],
+            axis=-1,
+        )
+        lr_sh = shl(lr_vec)
+        lr_w = self._smooth_weight(lr_d, cross_cutoff[:, None, None])
+        lr_attr = MLP([ns, ns], dropout=cfg.dropout)(lr_raw, deterministic=det)
+
+        # -- lig->atom K-list [B, NL, KLA] (cutoff = lig radius) -----------
+        la_idx, la_ok = neighbors.topk_neighbors(
+            g.lig_pos, g.lig_mask, g.atom_pos, g.atom_mask,
+            cfg.cross_lig_atom_max_neighbors, cutoff=cfg.lig_max_radius,
+        )
+        la_vec = neighbors.gather_nodes(g.atom_pos, la_idx) - g.lig_pos[:, :, None, :]
+        la_d = jnp.linalg.norm(la_vec, axis=-1)
+        KLA = cfg.cross_lig_atom_max_neighbors
+        la_raw = jnp.concatenate(
+            [jnp.broadcast_to(temb[:, None, None, :], (B, NL, KLA, D)), rbf_cross(la_d)],
+            axis=-1,
+        )
+        la_sh = shl(la_vec)
+        la_w = self._smooth_weight(la_d, cfg.lig_max_radius)
+        la_attr = MLP([ns, ns], dropout=cfg.dropout)(la_raw, deterministic=det)
+
+        # -- atom->residue membership edges [B, NA] ------------------------
+        ar_vec = neighbors.gather_nodes(g.rec_pos, g.atom_res_index) - g.atom_pos
+        ar_d = jnp.linalg.norm(ar_vec, axis=-1)
+        ar_raw = jnp.concatenate(
+            [_broadcast_nodes(temb, NA), rbf_rec(ar_d)], axis=-1
+        )
+        ar_sh = shl(ar_vec)
+        ar_attr = MLP([ns, ns], dropout=cfg.dropout)(ar_raw, deterministic=det)
+
+        # ==================================================================
+        # Convolution stack
+        # ==================================================================
+        ladder = feature_ladder(ns, nv, cfg.use_second_order_repr)
+        faster = cfg.sh_lmax == 1 and not cfg.use_second_order_repr
+        shirr = str(sh_irreps(cfg.sh_lmax))
+
+        def scal(x):
+            return x[..., :ns]
+
+        for l in range(cfg.num_conv_layers):
+            in_ir = str(ladder[min(l, 3)])
+            out_ir = str(ladder[min(l + 1, 3)])
+            out_dim = Irreps.parse(out_ir).dim
+
+            def conv(name):
+                return TPConv(
+                    in_irreps=in_ir, sh_irreps=shirr, out_irreps=out_ir,
+                    n_edge_features=3 * ns, dropout=cfg.dropout, faster=faster,
+                    name=f"conv_{l}_{name}",
+                )
+
+            def bn(name):
+                if not cfg.batch_norm:
+                    return lambda x, mask: x
+                mod = IrrepsBatchNorm(out_ir, name=f"bn_{l}_{name}")
+                return lambda x, mask: mod(x, mask, use_running_average=ura)
+
+            last = l == cfg.num_conv_layers - 1
+            conv_lig = conv("lig")
+
+            # ---- LIGAND update (lig intra + lr + la) ---------------------
+            # intra: bond edges
+            xg_b = neighbors.gather_nodes(lig_x, bdst)
+            attr_b = jnp.concatenate(
+                [bond_attr, scal(neighbors.gather_nodes(lig_x, bsrc)), scal(xg_b)], -1
+            )
+            m_b = conv_lig(xg_b, bond_sh, attr_b, bond_w, deterministic=det)
+            sum_b = aggregate.scatter_sum_batched(m_b, bsrc, g.lig_bond_mask, NL)
+            cnt_b = aggregate.scatter_sum_batched(
+                jnp.ones(bsrc.shape + (1,)), bsrc, g.lig_bond_mask, NL
+            )[..., 0]
+            # intra: radius K-list (same conv params — shared module)
+            xg_r = neighbors.gather_nodes(lig_x, lnbr_idx)
+            attr_r = jnp.concatenate(
+                [lnbr_attr, jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KL, ns)), scal(xg_r)], -1
+            )
+            m_r = conv_lig(xg_r, lnbr_sh, attr_r, lnbr_w, deterministic=det)
+            sum_r = aggregate.masked_sum(m_r, lnbr_ok, axis=2)
+            cnt_r = jnp.sum(lnbr_ok, axis=2)
+            lig_update = (sum_b + sum_r) / jnp.maximum(cnt_b + cnt_r, 1.0)[..., None]
+            lig_update = bn("lig")(lig_update, g.lig_mask)
+
+            # cross: rec -> lig over the dense pair block
+            attr_lr = jnp.concatenate(
+                [
+                    lr_attr,
+                    jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, NR, ns)),
+                    jnp.broadcast_to(scal(rec_x)[:, None, :, :], (B, NL, NR, ns)),
+                ],
+                -1,
+            )
+            m_lr = conv("lr")(
+                jnp.broadcast_to(rec_x[:, None, :, :], (B, NL, NR, rec_x.shape[-1])),
+                lr_sh, attr_lr, lr_w, deterministic=det,
+            )
+            lr_update = aggregate.masked_mean(m_lr, lr_ok, axis=2)
+            lr_update = bn("lr")(lr_update, g.lig_mask)
+
+            # cross: atom -> lig over the K-list
+            xg_la = neighbors.gather_nodes(atom_x, la_idx)
+            attr_la = jnp.concatenate(
+                [la_attr, jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KLA, ns)), scal(xg_la)], -1
+            )
+            m_la = conv("la")(xg_la, la_sh, attr_la, la_w, deterministic=det)
+            la_update = aggregate.masked_mean(m_la, la_ok, axis=2)
+            la_update = bn("la")(la_update, g.lig_mask)
+
+            if cfg.flexible_sidechains or not last:
+                # ---- ATOM update (atom intra + al + ar) ------------------
+                xg_a = neighbors.gather_nodes(atom_x, anbr_idx)
+                attr_a = jnp.concatenate(
+                    [anbr_attr, jnp.broadcast_to(scal(atom_x)[:, :, None, :], (B, NA, KA, ns)), scal(xg_a)], -1
+                )
+                m_a = conv("atom")(xg_a, anbr_sh, attr_a, anbr_w, deterministic=det)
+                atom_update = aggregate.masked_mean(m_a, anbr_ok, axis=2)
+                atom_update = bn("atom")(atom_update, g.atom_mask)
+
+                # lig -> atom: reversed la edges, scatter onto atoms
+                attr_al = jnp.concatenate(
+                    [la_attr, scal(xg_la), jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KLA, ns))], -1
+                )
+                m_al = conv("al")(
+                    jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, KLA, lig_x.shape[-1])),
+                    la_sh, attr_al, la_w, deterministic=det,
+                )
+                al_update = aggregate.scatter_mean_batched(
+                    m_al.reshape(B, NL * KLA, -1),
+                    la_idx.reshape(B, NL * KLA),
+                    (la_ok & g.lig_mask[:, :, None]).reshape(B, NL * KLA),
+                    NA,
+                )
+                al_update = bn("al")(al_update, g.atom_mask)
+
+                # rec -> atom: one membership edge per atom
+                xg_ar = neighbors.gather_nodes(rec_x, g.atom_res_index)
+                attr_ar = jnp.concatenate([ar_attr, scal(atom_x), scal(xg_ar)], -1)
+                m_ar = conv("ar")(xg_ar, ar_sh, attr_ar, 1.0, deterministic=det)
+                ar_update = m_ar * g.atom_mask[..., None]
+                ar_update = bn("ar")(ar_update, g.atom_mask)
+
+                if not last:
+                    # ---- RECEPTOR update (rec intra + rl + ra) -----------
+                    xg_rr = neighbors.gather_nodes(rec_x, rnbr_idx)
+                    attr_rr = jnp.concatenate(
+                        [rnbr_attr, jnp.broadcast_to(scal(rec_x)[:, :, None, :], (B, NR, KR, ns)), scal(xg_rr)], -1
+                    )
+                    m_rr = conv("rec")(xg_rr, rnbr_sh, attr_rr, rnbr_w, deterministic=det)
+                    rec_update = aggregate.masked_mean(m_rr, rnbr_ok, axis=2)
+                    rec_update = bn("rec")(rec_update, g.rec_mask)
+
+                    # lig -> rec: reversed dense pair block
+                    attr_rl = jnp.concatenate(
+                        [
+                            lr_attr,
+                            jnp.broadcast_to(scal(rec_x)[:, None, :, :], (B, NL, NR, ns)),
+                            jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, NR, ns)),
+                        ],
+                        -1,
+                    )
+                    m_rl = conv("rl")(
+                        jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, NR, lig_x.shape[-1])),
+                        lr_sh, attr_rl, lr_w, deterministic=det,
+                    )
+                    rl_update = aggregate.masked_mean(m_rl, lr_ok, axis=1)
+                    rl_update = bn("rl")(rl_update, g.rec_mask)
+
+                    # atom -> rec: segment mean over residue membership
+                    attr_ra = jnp.concatenate([ar_attr, scal(xg_ar), scal(atom_x)], -1)
+                    m_ra = conv("ra")(atom_x, ar_sh, attr_ra, 1.0, deterministic=det)
+                    ra_update = aggregate.scatter_mean_batched(
+                        m_ra, g.atom_res_index, g.atom_mask, NR
+                    )
+                    ra_update = bn("ra")(ra_update, g.rec_mask)
+
+            # ---- residual adds with feature growth -----------------------
+            lig_x = _pad_features(lig_x, out_dim) + lig_update + lr_update + la_update
+            if cfg.flexible_sidechains or not last:
+                atom_x = _pad_features(atom_x, out_dim) + atom_update + al_update + ar_update
+                if not last:
+                    rec_x = _pad_features(rec_x, out_dim) + rec_update + rl_update + ra_update
+
+        # ==================================================================
+        # Heads
+        # ==================================================================
+        num_sc_bonds_mask = g.sc_bond_mask  # [B, S]
+
+        if cfg.confidence_mode:
+            if cfg.num_conv_layers >= 3:
+                scalar_lig = jnp.concatenate([lig_x[..., :ns], lig_x[..., -ns:]], -1)
+            else:
+                scalar_lig = lig_x[..., :ns]
+            pooled = aggregate.masked_mean(scalar_lig, g.lig_mask, axis=1)  # [B, 2ns]
+            conf_in = pooled
+            if cfg.flexible_sidechains:
+                # atoms at the endpoints of flexible chi bonds (reference
+                # get_sc_tor_bonds(...).unique(), all_atom:337)
+                flex_mask = jnp.zeros((B, NA), dtype=bool)
+                for side in range(2):
+                    flex_mask = jax.vmap(
+                        lambda fm, idx, ok: fm.at[idx].max(ok)
+                    )(flex_mask, g.sc_bond_index[..., side], g.sc_bond_mask)
+                if cfg.num_conv_layers >= 3:
+                    scalar_atom = jnp.concatenate([atom_x[..., :ns], atom_x[..., -ns:]], -1)
+                else:
+                    scalar_atom = atom_x[..., :ns]
+                pooled_atom = aggregate.masked_mean(scalar_atom, flex_mask & g.atom_mask, axis=1)
+                any_flex = jnp.any(num_sc_bonds_mask, axis=1)[:, None]
+                pooled_atom = jnp.where(any_flex, pooled_atom, 0.0)
+                conf_in = jnp.concatenate([conf_in, pooled_atom], -1)
+
+            n_out = cfg.num_confidence_outputs + (1 if cfg.affinity_prediction else 0)
+            h = conf_in
+            for i, f in enumerate([ns, ns]):
+                h = nn.Dense(f)(h)
+                if not cfg.confidence_no_batchnorm:
+                    h = nn.BatchNorm(use_running_average=ura, momentum=0.9)(h)
+                h = nn.relu(h)
+                h = nn.Dropout(cfg.confidence_dropout)(h, deterministic=det)
+            confidence = nn.Dense(n_out)(h)
+            if n_out == 1:
+                confidence = confidence[..., 0]
+            return confidence
+
+        # ---- center conv -> tr/rot vectors --------------------------------
+        lig_w = g.lig_mask.astype(lig_x.dtype)
+        center = aggregate.masked_mean(g.lig_pos, g.lig_mask, axis=1)  # [B, 3]
+        c_vec = g.lig_pos - center[:, None, :]
+        c_d = jnp.linalg.norm(c_vec, axis=-1)
+        rbf_center = GaussianSmearing(0.0, cfg.center_max_distance, cfg.distance_embed_dim)
+        c_raw = jnp.concatenate([rbf_center(c_d), _broadcast_nodes(temb, NL)], -1)
+        c_attr = MLP([ns, ns], dropout=cfg.dropout)(c_raw, deterministic=det)
+        c_attr = jnp.concatenate([c_attr, lig_x[..., :ns]], -1)
+        c_sh = shl(c_vec)
+        final_out = "2x1o + 2x1e" if not cfg.odd_parity else "1x1o + 1x1e"
+        m_c = TPConv(
+            in_irreps=str(ladder[min(cfg.num_conv_layers, 3)]),
+            sh_irreps=shirr, out_irreps=final_out,
+            n_edge_features=2 * ns, dropout=cfg.dropout, faster=faster,
+            name="final_conv",
+        )(lig_x, c_sh, c_attr, 1.0, deterministic=det)
+        global_pred = aggregate.masked_mean(m_c, g.lig_mask, axis=1)  # [B, 12]
+        if cfg.batch_norm:
+            global_pred = IrrepsBatchNorm(final_out, name="bn_final")(
+                global_pred[:, None, :], jnp.ones((B, 1), bool), use_running_average=ura
+            )[:, 0, :]
+
+        if cfg.odd_parity:
+            tr_pred, rot_pred = global_pred[:, :3], global_pred[:, 3:6]
+        else:
+            tr_pred = global_pred[:, :3] + global_pred[:, 6:9]
+            rot_pred = global_pred[:, 3:6] + global_pred[:, 9:12]
+
+        # magnitude MLPs conditioned on |v| and the sigma embedding
+        graph_temb = temb
+        tr_norm = jnp.linalg.norm(tr_pred, axis=-1, keepdims=True)
+        tr_mag = MLP([ns, 1], dropout=cfg.dropout, name="tr_final")(
+            jnp.concatenate([tr_norm, graph_temb], -1), deterministic=det
+        )
+        tr_pred = tr_pred / jnp.maximum(tr_norm, 1e-12) * tr_mag
+        rot_norm = jnp.linalg.norm(rot_pred, axis=-1, keepdims=True)
+        rot_mag = MLP([ns, 1], dropout=cfg.dropout, name="rot_final")(
+            jnp.concatenate([rot_norm, graph_temb], -1), deterministic=det
+        )
+        rot_pred = rot_pred / jnp.maximum(rot_norm, 1e-12) * rot_mag
+
+        if cfg.scale_by_sigma:
+            assert score_norms is not None, "scale_by_sigma needs table lookups"
+            tr_pred = tr_pred / sigma_tr[:, None]
+            rot_pred = rot_pred * score_norms["rot"][:, None]
+
+        # ---- ligand torsion head -----------------------------------------
+        T = g.tor_bond_index.shape[1]
+        if cfg.no_torsion:
+            tor_pred = jnp.zeros((B, T))
+        else:
+            tor_pred = self._pseudotorque_head(
+                "tor", g.lig_pos, g.lig_mask, lig_x, g.tor_bond_index,
+                g.tor_bond_mask, ladder, rbf_lig, det, ura,
+            )
+            if cfg.scale_by_sigma:
+                tor_pred = tor_pred * jnp.sqrt(score_norms["tor"])[:, None]
+
+        # ---- side-chain torsion head -------------------------------------
+        S = g.sc_bond_index.shape[1]
+        if not cfg.flexible_sidechains:
+            sc_pred = jnp.zeros((B, S))
+        else:
+            sc_pred = self._pseudotorque_head(
+                "sc_tor", g.atom_pos, g.atom_mask, atom_x, g.sc_bond_index,
+                g.sc_bond_mask, ladder, rbf_lig, det, ura,
+            )
+            if cfg.scale_by_sigma:
+                sc_pred = sc_pred * jnp.sqrt(score_norms["sc_tor"])[:, None]
+
+        return tr_pred, rot_pred, tor_pred, sc_pred
+
+    def _pseudotorque_head(
+        self, name, pos, mask, node_x, bond_index, bond_mask, ladder, rbf, det, ura
+    ):
+        """Shared ligand-torsion / side-chain-torsion pseudotorque conv
+        (reference build_bond_conv_graph + tor_bond_conv,
+        all_atom_score_model.py:390-434, 601-636).
+
+        Dense [B, T, N] bond-to-node neighborhoods within lig_max_radius.
+        """
+        cfg = self.cfg
+        ns = cfg.ns
+        B, N = pos.shape[:2]
+        T = bond_index.shape[1]
+
+        pu = neighbors.gather_nodes(pos, bond_index[..., 0])
+        pv = neighbors.gather_nodes(pos, bond_index[..., 1])
+        bond_pos = 0.5 * (pu + pv)  # [B, T, 3]
+        bond_vec = pv - pu
+
+        vec = pos[:, None, :, :] - bond_pos[:, :, None, :]  # [B, T, N, 3]
+        d = jnp.linalg.norm(vec, axis=-1)
+        ok = (
+            bond_mask[:, :, None]
+            & mask[:, None, :]
+            & (d < cfg.lig_max_radius)
+        )
+        raw = rbf(d)
+        attr = MLP([ns, ns], dropout=cfg.dropout, name=f"{name}_edge_mlp")(
+            raw, deterministic=det
+        )
+        bond_attr_full = neighbors.gather_nodes(node_x, bond_index[..., 0]) + \
+            neighbors.gather_nodes(node_x, bond_index[..., 1])  # [B, T, dim]
+        attr = jnp.concatenate(
+            [
+                attr,
+                jnp.broadcast_to(node_x[:, None, :, :ns], (B, T, N, ns)),
+                jnp.broadcast_to(bond_attr_full[:, :, None, :ns], (B, T, N, ns)),
+            ],
+            -1,
+        )
+
+        shv = spherical.sh_ladder(cfg.sh_lmax, vec)
+        bond_sh2 = spherical.sh_single(2, bond_vec)  # '2e' of the bond axis
+        ftp = FullTensorProduct(str(sh_irreps(cfg.sh_lmax)), "1x2e")
+        edge_sh = ftp(shv, jnp.broadcast_to(bond_sh2[:, :, None, :], shv.shape[:-1] + (5,)))
+
+        out_ir = f"{ns}x0o + {ns}x0e" if not cfg.odd_parity else f"{ns}x0o"
+        m = TPConv(
+            in_irreps=str(ladder[min(cfg.num_conv_layers, 3)]),
+            sh_irreps=str(ftp.irreps_out), out_irreps=out_ir,
+            n_edge_features=3 * ns, dropout=cfg.dropout, faster=False,
+            name=f"{name}_bond_conv",
+        )(
+            jnp.broadcast_to(node_x[:, None, :, :], (B, T, N, node_x.shape[-1])),
+            edge_sh, attr, self._smooth_weight(d, cfg.lig_max_radius),
+            deterministic=det,
+        )
+        agg = aggregate.masked_mean(m, ok, axis=2)  # [B, T, 2ns]
+        if cfg.batch_norm:
+            agg = IrrepsBatchNorm(out_ir, name=f"bn_{name}_bond")(
+                agg, bond_mask, use_running_average=ura
+            )
+        h = nn.Dense(ns, use_bias=False, name=f"{name}_final_0")(agg)
+        h = jnp.tanh(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=det)
+        out = nn.Dense(1, use_bias=False, name=f"{name}_final_1")(h)
+        return out[..., 0]

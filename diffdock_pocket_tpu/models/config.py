@@ -1,0 +1,109 @@
+"""Model hyperparameter config (the model_parameters.yml contract).
+
+Mirrors the constructor surface of the reference models
+(models/all_atom_score_model.py:22-32, models/score_model.py:128-138) plus
+the TPU-specific static capacities (neighbor caps) that replace dynamic
+graph shapes.  Serialized to/loaded from model_parameters.yml next to
+checkpoints, exactly like the reference's de-facto model format
+(train.py:205-207; inference.py:332-336).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+from ..diffusion import SigmaConfig
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # capacity / architecture
+    ns: int = 16
+    nv: int = 4
+    num_conv_layers: int = 2
+    sh_lmax: int = 1
+    use_second_order_repr: bool = False
+    sigma_embed_dim: int = 32
+    distance_embed_dim: int = 32
+    cross_distance_embed_dim: int = 32
+    in_lig_edge_features: int = 4
+    batch_norm: bool = True
+    dropout: float = 0.0
+    embedding_type: str = "sinusoidal"
+    embedding_scale: float = 10000.0
+
+    # graph geometry
+    lig_max_radius: float = 5.0
+    rec_max_radius: float = 30.0
+    cross_max_distance: float = 250.0
+    center_max_distance: float = 30.0
+    dynamic_max_cross: bool = False
+    smooth_edges: bool = False
+    odd_parity: bool = False
+
+    # static neighbor capacities (TPU replacement for dynamic edge counts)
+    lig_max_neighbors: int = 24
+    atom_max_neighbors: int = 8
+    cross_lig_atom_max_neighbors: int = 32
+
+    # task structure
+    all_atoms: bool = True
+    no_torsion: bool = False
+    flexible_sidechains: bool = True
+    scale_by_sigma: bool = True
+    separate_noise_schedule: bool = False
+    asyncronous_noise_schedule: bool = False
+    no_aminoacid_identities: bool = False
+    fixed_center_conv: bool = True  # see note in AllAtomScoreModel.center head
+    include_miscellaneous_atoms: bool = False
+    use_old_atom_encoder: bool = False
+
+    # embeddings
+    esm_embeddings_dim: int = 0  # 1280 when ESM2-650M embeddings are attached
+
+    # confidence mode
+    confidence_mode: bool = False
+    num_confidence_outputs: int = 1
+    confidence_dropout: float = 0.0
+    confidence_no_batchnorm: bool = False
+    affinity_prediction: bool = False
+    parallel: int = 1
+    parallel_aggregators: str = "mean max min std"
+
+    # diffusion
+    sigma: SigmaConfig = field(default_factory=SigmaConfig)
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "ModelConfig":
+        d = dict(d)
+        sig = d.pop("sigma", None)
+        names = {f.name for f in dataclasses.fields(ModelConfig)}
+        kwargs = {k: v for k, v in d.items() if k in names and k != "sigma"}
+        if sig is not None:
+            kwargs["sigma"] = SigmaConfig(**sig) if isinstance(sig, dict) else sig
+        return ModelConfig(**kwargs)
+
+
+# Published reference configs (README.md:72, 82, 88) for convenience.
+BIG_SCORE_CONFIG = ModelConfig(
+    ns=60, nv=10, num_conv_layers=6, sh_lmax=1,
+    sigma_embed_dim=64, distance_embed_dim=64, cross_distance_embed_dim=64,
+    dynamic_max_cross=True, dropout=0.1, all_atoms=True,
+    flexible_sidechains=True, atom_max_neighbors=8,
+    sigma=SigmaConfig(tr_sigma_min=0.1, tr_sigma_max=5.0),
+)
+SMALL_SCORE_CONFIG = ModelConfig(
+    ns=32, nv=6, num_conv_layers=5, sh_lmax=1,
+    dynamic_max_cross=True, dropout=0.1, all_atoms=True,
+    flexible_sidechains=True, atom_max_neighbors=12,
+    sigma=SigmaConfig(tr_sigma_min=0.1, tr_sigma_max=15.0),
+)
+CONFIDENCE_CONFIG = ModelConfig(
+    ns=24, nv=6, num_conv_layers=5, sh_lmax=1,
+    dynamic_max_cross=True, dropout=0.1, all_atoms=True,
+    flexible_sidechains=True, confidence_mode=True, atom_max_neighbors=12,
+)

@@ -1,0 +1,179 @@
+"""End-to-end docking pipeline: featurized complex -> ranked poses.
+
+Orchestration parity with the reference inference flow
+(inference.py:106-291 infer_single_complex): replicate the complex
+``samples_per_complex`` times, randomize at t=1, run the reverse diffusion,
+score with the confidence model at t=0, rank.
+
+TPU-native structure: one jit per bucket covers the *entire* reverse loop
+(20 steps x model forward x conformer updates); samples are processed in
+micro-batches sized to HBM.  The host only featurizes once and writes files.
+"""
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import graph as graphlib
+from . import sampling, tables
+from .data.featurize import ComplexData
+from .diffusion import SigmaConfig
+from .models.config import ModelConfig
+from .models.score_model import get_model
+from .sampling import SamplerConfig
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class DockingResult:
+    name: str
+    lig_pos: np.ndarray  # [S, NL, 3] pocket frame, ranked by confidence
+    atom_pos: np.ndarray  # [S, NA, 3] ranked
+    confidence: Optional[np.ndarray]  # [S] ranked (None without a confidence model)
+    center: np.ndarray  # [3] pocket center (add to get original frame)
+    lig_mask: np.ndarray
+    atom_mask: np.ndarray
+    trajectory: Optional[tuple] = None  # (lig [steps,S,NL,3], atom [steps,S,NA,3])
+
+
+class DockingPipeline:
+    """Holds the score (and optional confidence) model with their weights and
+    exposes ``dock(complex_data, key)``."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        variables,
+        sampler_cfg: SamplerConfig,
+        confidence_cfg: Optional[ModelConfig] = None,
+        confidence_variables=None,
+        samples_per_complex: int = 10,
+        batch_size: int = 10,
+        sigma_schedule: str = "expbeta",
+        inf_sched_alpha: float = 1,
+        inf_sched_beta: float = 1,
+        buckets: Optional[dict] = None,
+    ):
+        self.model_cfg = model_cfg
+        self.variables = variables
+        self.sampler_cfg = sampler_cfg
+        self.confidence_cfg = confidence_cfg
+        self.confidence_variables = confidence_variables
+        self.samples_per_complex = samples_per_complex
+        self.batch_size = batch_size
+        self.buckets = buckets
+        self.model = get_model(model_cfg)
+        self.confidence_model = (
+            get_model(confidence_cfg) if confidence_cfg is not None else None
+        )
+        self._so3 = tables.so3_tables()
+        self._torus = tables.torus_tables()
+        self.schedule = sampling.make_schedules(
+            sigma_schedule, sampler_cfg.inference_steps, inf_sched_alpha, inf_sched_beta
+        )
+        self._run_jit = jax.jit(self._run_batch)
+        self._conf_jit = jax.jit(self._run_confidence) if self.confidence_model else None
+
+    # ------------------------------------------------------------------
+    def _score_norms(self, t):
+        sig = self.model_cfg.sigma
+        _, s_rot, s_tor, s_sc = sig.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
+        return {
+            "rot": self._so3.score_norm(s_rot),
+            "tor": self._torus.score_norm(s_tor),
+            "sc_tor": self._torus.score_norm(s_sc),
+        }
+
+    def _run_batch(self, key, g, variables):
+        # variables are an explicit jit argument (donated weights would
+        # otherwise be baked into the executable as constants)
+        def score_fn(gr, t):
+            return self.model.apply(variables, gr, t, self._score_norms(t))
+
+        k1, k2 = jax.random.split(key)
+        g = sampling.randomize_position(
+            k1, g, self.model_cfg.sigma,
+            no_torsion=self.sampler_cfg.no_torsion,
+            no_random=self.sampler_cfg.no_random,
+            flexible_sidechains=self.sampler_cfg.flexible_sidechains,
+        )
+        return sampling.reverse_diffusion(
+            k2, g, score_fn, self.schedule, self.model_cfg.sigma, self.sampler_cfg
+        )
+
+    def _run_confidence(self, g, conf_variables):
+        def conf_fn(gr, t):
+            return self.confidence_model.apply(conf_variables, gr, t)
+
+        return sampling.run_confidence(g, conf_fn)
+
+    # ------------------------------------------------------------------
+    def dock(self, data: ComplexData, key: jax.Array) -> DockingResult:
+        g1 = graphlib.from_raw(data.raw, buckets=self.buckets)
+        S = self.samples_per_complex
+        bs = min(self.batch_size, S)
+        n_chunks = math.ceil(S / bs)
+
+        lig_out, atom_out, confs, trajs = [], [], [], []
+        keys = jax.random.split(key, n_chunks)
+        for c in range(n_chunks):
+            g = graphlib.replicate(g1, bs)
+            g_final, traj = self._run_jit(keys[c], g, self.variables)
+            if self._conf_jit is not None:
+                confs.append(np.asarray(self._conf_jit(g_final, self.confidence_variables)))
+            lig_out.append(np.asarray(g_final.lig_pos))
+            atom_out.append(np.asarray(g_final.atom_pos))
+            if traj is not None:
+                trajs.append(jax.device_get(traj))
+
+        lig_pos = np.concatenate(lig_out)[:S]
+        atom_pos = np.concatenate(atom_out)[:S]
+        conf = np.concatenate(confs)[:S] if confs else None
+        trajectory = None
+        if trajs:
+            trajectory = tuple(np.concatenate([t[i] for t in trajs], axis=1)[:, :S] for i in range(2))
+
+        if conf is not None:
+            order = np.argsort(-conf)
+        else:
+            order = np.arange(S)
+        g_np = jax.device_get(g1)
+        return DockingResult(
+            name=data.name,
+            lig_pos=lig_pos[order],
+            atom_pos=atom_pos[order],
+            confidence=conf[order] if conf is not None else None,
+            center=np.asarray(data.raw["original_center"]),
+            lig_mask=np.asarray(g_np.lig_mask),
+            atom_mask=np.asarray(g_np.atom_mask),
+            trajectory=tuple(t[:, order] for t in trajectory) if trajectory else None,
+        )
+
+
+def init_random_variables(model_cfg: ModelConfig, example_graph, seed: int = 0):
+    """Random-init model variables for an example (batched) graph — used for
+    benchmarking and before training produces checkpoints."""
+    model = get_model(model_cfg)
+    B = example_graph.lig_pos.shape[0]
+    t = {k: jnp.full((B,), 0.5) for k in ("tr", "rot", "tor", "sc_tor")}
+    if model_cfg.confidence_mode:
+        sn = None
+    else:
+        so3 = tables.so3_tables()
+        torus = tables.torus_tables()
+        sig = model_cfg.sigma
+        _, s_rot, s_tor, s_sc = sig.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
+        sn = {
+            "rot": so3.score_norm(s_rot),
+            "tor": torus.score_norm(s_tor),
+            "sc_tor": torus.score_norm(s_sc),
+        }
+    return jax.jit(model.init)(jax.random.PRNGKey(seed), example_graph, t, sn)

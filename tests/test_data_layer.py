@@ -1,0 +1,116 @@
+"""Host data-layer tests on the shipped 3dpf example complex
+(/root/reference/example_data — a real PDB + SDF pair, CPU-only)."""
+import os
+
+import numpy as np
+import pytest
+
+from diffdock_pocket_tpu.data import featurize, pdb, receptor, sdf
+from diffdock_pocket_tpu.data.chem import ALLOWABLE_FEATURES
+
+EXAMPLE = "/root/reference/example_data"
+PROTEIN = os.path.join(EXAMPLE, "3dpf_protein.pdb")
+LIGAND = os.path.join(EXAMPLE, "3dpf_ligand.sdf")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(PROTEIN), reason="3dpf example data not available"
+)
+
+
+def test_parse_sdf_3dpf():
+    mol = sdf.parse_sdf(LIGAND)
+    assert mol.n_atoms == 59
+    assert len(mol.bonds) == 64
+    # known formal charge: the quaternary N (atom 8 in the file is N+)
+    assert sum(mol.charges) >= 1
+    heavy = mol.remove_hydrogens()
+    assert heavy.n_atoms < mol.n_atoms or all(s != "H" for s in mol.symbols)
+
+
+def test_ligand_featurization_3dpf():
+    mol = sdf.parse_sdf(LIGAND).remove_hydrogens()
+    feats = mol.featurize()
+    assert feats.shape == (mol.n_atoms, 16)
+    # atomic numbers: index into possible_atomic_num_list is Z - 1
+    zs = feats[:, 0] + 1
+    assert set(np.unique(zs)).issubset({6, 7, 8, 16})
+    bond_idx, bond_attr = mol.bond_arrays()
+    assert bond_idx.shape[0] == 2 * len(mol.bonds)
+    assert bond_attr.shape == (2 * len(mol.bonds), 4)
+
+
+def test_rotatable_bonds_3dpf():
+    mol = sdf.parse_sdf(LIGAND).remove_hydrogens()
+    tor_idx, tor_mask = mol.rotatable_bonds()
+    assert tor_idx.shape[0] > 3  # this ligand has several rotatable bonds
+    for k in range(tor_idx.shape[0]):
+        u, v = tor_idx[k]
+        assert not tor_mask[k, u]
+        assert tor_mask[k, v]
+        assert 1 < tor_mask[k].sum() < mol.n_atoms - 1
+
+
+def test_parse_pdb_3dpf():
+    model = pdb.parse_pdb(PROTEIN)
+    n_res = sum(1 for _ in model.get_residues())
+    assert n_res > 100
+    atoms = list(model.get_atoms())
+    assert len(atoms) > 1000
+    elements = {a.element for a in atoms}
+    assert "C" in elements and "N" in elements and "O" in elements
+
+
+def test_pdb_roundtrip():
+    model = pdb.parse_pdb(PROTEIN)
+    text = pdb.format_pdb_model(model)
+    model2 = pdb.parse_pdb(text)
+    c1 = model.atom_coords()
+    c2 = model2.atom_coords()
+    np.testing.assert_allclose(c1, c2, atol=2e-3)
+    names1 = [a.name for a in model.get_atoms()]
+    names2 = [a.name for a in model2.get_atoms()]
+    assert names1 == names2
+
+
+def test_build_complex_3dpf():
+    cfg = featurize.DataConfig()
+    data = featurize.build_complex(LIGAND, PROTEIN, cfg, name="3dpf")
+    raw = data.raw
+    nl = len(raw["lig_pos"])
+    nr = len(raw["rec_pos"])
+    na = len(raw["atom_pos"])
+    assert nl == sdf.parse_sdf(LIGAND).remove_hydrogens().n_atoms
+    assert 10 < nr < 400  # pocket-reduced
+    assert na > nr  # several atoms per residue
+    assert raw["atom_res_index"].max() == nr - 1
+    # complex is centered on the pocket: ligand centroid near origin
+    assert np.linalg.norm(raw["lig_pos"].mean(0)) < 15.0
+    # receptor neighbor lists are valid
+    assert raw["rec_nbr_idx"].shape[0] == nr
+    assert raw["rec_nbr_mask"].any(axis=1).all()
+    # flexible side chains were found near the pocket
+    assert raw["sc_bond_index"].shape[0] > 0
+    assert raw["sc_rotate_mask"].shape == (raw["sc_bond_index"].shape[0], na)
+    for k in range(raw["sc_bond_index"].shape[0]):
+        u, v = raw["sc_bond_index"][k]
+        assert not raw["sc_rotate_mask"][k, u]
+        assert raw["sc_rotate_mask"][k, v]
+
+
+def test_sidechain_masks_are_residue_local():
+    cfg = featurize.DataConfig()
+    data = featurize.build_complex(LIGAND, PROTEIN, cfg, name="3dpf")
+    raw = data.raw
+    res_of = raw["atom_res_index"]
+    for k in range(raw["sc_bond_index"].shape[0]):
+        atoms = np.where(raw["sc_rotate_mask"][k])[0]
+        assert len(set(res_of[atoms])) == 1  # chi rotations stay in-residue
+
+
+def test_sdf_write_roundtrip():
+    mol = sdf.parse_sdf(LIGAND).remove_hydrogens()
+    text = sdf.format_sdf(mol)
+    mol2 = sdf.parse_sdf(text)
+    assert mol2.n_atoms == mol.n_atoms
+    np.testing.assert_allclose(mol2.coords, mol.coords, atol=1e-3)
+    assert [b.type for b in mol2.bonds] == [b.type for b in mol.bonds]

@@ -1,0 +1,109 @@
+"""Minimum end-to-end slice: 3dpf re-docking with a tiny random-init model.
+
+Mirrors the reference smoke path (example_inference.sh): featurize the real
+3dpf complex, run the full jitted reverse diffusion (randomize -> N steps ->
+final poses), write ranked SDF + receptor PDB outputs, and check structural
+invariants (bond lengths preserved — the manifold moves are rigid+torsional,
+so the ligand's internal bond lengths must survive sampling exactly).
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from diffdock_pocket_tpu import graph as graphlib
+from diffdock_pocket_tpu import pipeline, sampling, visualise
+from diffdock_pocket_tpu.data import featurize, sdf
+from diffdock_pocket_tpu.models.config import ModelConfig
+
+EXAMPLE = "/root/reference/example_data"
+PROTEIN = os.path.join(EXAMPLE, "3dpf_protein.pdb")
+LIGAND = os.path.join(EXAMPLE, "3dpf_ligand.sdf")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(PROTEIN), reason="3dpf example data not available"
+)
+
+TINY = ModelConfig(
+    ns=8, nv=2, num_conv_layers=2, sh_lmax=1, sigma_embed_dim=8,
+    distance_embed_dim=8, cross_distance_embed_dim=8, dynamic_max_cross=True,
+    all_atoms=True, flexible_sidechains=True, atom_max_neighbors=4,
+    lig_max_neighbors=8, cross_lig_atom_max_neighbors=8,
+)
+
+
+@pytest.fixture(scope="module")
+def docked(tmp_path_factory):
+    data = featurize.build_complex(LIGAND, PROTEIN, featurize.DataConfig(), name="3dpf")
+    g1 = graphlib.from_raw(data.raw)
+    g_ex = graphlib.replicate(g1, 2)
+    variables = pipeline.init_random_variables(TINY, g_ex)
+    pipe = pipeline.DockingPipeline(
+        model_cfg=TINY,
+        variables=variables,
+        sampler_cfg=sampling.SamplerConfig(
+            inference_steps=3, flexible_sidechains=True, return_trajectory=True
+        ),
+        samples_per_complex=2,
+        batch_size=2,
+    )
+    result = pipe.dock(data, jax.random.PRNGKey(0))
+    return data, result
+
+
+def test_end_to_end_shapes_and_finiteness(docked):
+    data, result = docked
+    S = 2
+    assert result.lig_pos.shape[0] == S
+    assert np.all(np.isfinite(result.lig_pos))
+    assert np.all(np.isfinite(result.atom_pos))
+    assert result.trajectory is not None
+    assert result.trajectory[0].shape[0] == 3  # steps
+
+
+def test_bond_lengths_preserved(docked):
+    """Rigid + torsional moves preserve ligand bond lengths exactly."""
+    data, result = docked
+    bond_idx = data.raw["lig_bond_index"]
+    orig = data.raw["lig_pos"]
+    ref_lengths = np.linalg.norm(orig[bond_idx[:, 0]] - orig[bond_idx[:, 1]], axis=1)
+    for s in range(result.lig_pos.shape[0]):
+        pos = result.lig_pos[s][: len(orig)]
+        lengths = np.linalg.norm(pos[bond_idx[:, 0]] - pos[bond_idx[:, 1]], axis=1)
+        np.testing.assert_allclose(lengths, ref_lengths, atol=1e-2)
+
+
+def test_sidechain_moves_stay_in_residue(docked):
+    """Side-chain sampling may only move atoms belonging to flexible chi
+    subcomponents; all other receptor atoms must be untouched."""
+    data, result = docked
+    raw = data.raw
+    na = len(raw["atom_pos"])
+    movable = raw["sc_rotate_mask"].any(axis=0)
+    frozen = ~movable
+    for s in range(result.atom_pos.shape[0]):
+        got = result.atom_pos[s][:na]
+        np.testing.assert_allclose(
+            got[frozen], raw["atom_pos"][frozen], atol=1e-4
+        )
+        # and at least one side-chain atom actually moved
+        assert np.abs(got[movable] - raw["atom_pos"][movable]).max() > 1e-3
+
+
+def test_pose_outputs_written(docked, tmp_path):
+    data, result = docked
+    nl = len(data.raw["lig_pos"])
+    for rank in range(result.lig_pos.shape[0]):
+        p = tmp_path / f"rank{rank + 1}.sdf"
+        visualise.write_ligand_sdf(
+            str(p), data.ligand, result.lig_pos[rank][:nl], result.center
+        )
+        mol = sdf.parse_sdf(str(p))
+        assert mol.n_atoms == nl
+    na = len(data.raw["atom_pos"])
+    prot = tmp_path / "rank1_protein.pdb"
+    visualise.write_receptor_with_sidechains(
+        str(prot), data.receptor_arrays, result.atom_pos[0][:na], result.center
+    )
+    assert prot.exists() and prot.stat().st_size > 1000
