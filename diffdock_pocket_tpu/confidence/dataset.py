@@ -1,0 +1,203 @@
+"""Confidence-model dataset: generate poses with a frozen score model,
+label them by RMSD, and serve (pose, label) training examples.
+
+Parity targets (reference filtering/dataset.py):
+- preprocessing: run `samples_per_complex` reverse diffusions per training
+  complex with the frozen score model, store ligand (+ flexible side-chain)
+  positions and their RMSD labels, cached per cache_creation_id
+  (dataset.py:450-622);
+- multiple generation rounds are combined by complex-name intersection
+  (cache_ids_to_combine, dataset.py:210-318);
+- get(): pick one sample, overwrite the graph's ligand/side-chain positions,
+  label y = (rmsd < 2) & (sc_rmsd < 1), stamp t = 0 (dataset.py:341-448).
+
+TPU note: this generation phase is the framework's flagship throughput win —
+the jitted sampler makes the GPU-days-scale reference generation
+(SURVEY.md §7.4) a batched on-device pipeline.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .. import evaluation, graph as graphlib, sampling
+from ..data.dataset import DockingDataset
+from ..data.featurize import ComplexData
+from ..pipeline import DockingPipeline
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class PoseSample:
+    name: str
+    lig_pos: np.ndarray  # [S, NL, 3]
+    rmsds: np.ndarray  # [S]
+    sc_pos: Optional[np.ndarray]  # [S, NA, 3] flexible-atom coords (full array)
+    sc_rmsds: Optional[np.ndarray]  # [S]
+
+
+def generate_poses(
+    pipe: DockingPipeline,
+    dataset: DockingDataset,
+    out_dir: str,
+    cache_creation_id: int = 1,
+    seed: int = 0,
+    limit: int = 0,
+) -> str:
+    """Run the frozen score model over the dataset and store labeled poses.
+    Returns the cache file path."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"poses_id{cache_creation_id}.pkl")
+    if os.path.exists(path):
+        logger.info("pose cache %s exists; skipping generation", path)
+        return path
+
+    key = jax.random.PRNGKey(seed + cache_creation_id)
+    samples: dict[str, PoseSample] = {}
+    n = 0
+    for i in range(len(dataset)):
+        if limit and n >= limit:
+            break
+        data = dataset.get(i)
+        if data is None:
+            continue
+        key, sub = jax.random.split(key)
+        try:
+            result = pipe.dock(data, sub)
+        except Exception as e:
+            logger.warning("pose generation failed for %s: %s", data.name, e)
+            continue
+        n += 1
+        nl = len(data.raw["lig_pos"])
+        na = len(data.raw["atom_pos"])
+        true = data.raw["lig_orig_pos"]
+        S = result.lig_pos.shape[0]
+        rmsds = np.asarray(
+            [evaluation.rmsd(result.lig_pos[s][:nl], true) for s in range(S)]
+        )
+        sc_pos = sc_rmsds = None
+        if data.raw["sc_bond_index"].size:
+            sc_pos = result.atom_pos[:, :na]
+            sc_rmsds = np.asarray(
+                [
+                    evaluation.sidechain_rmsds(
+                        sc_pos[s], data.raw["atom_orig_pos"],
+                        data.raw["sc_rotate_mask"], data.raw["sc_res_index"],
+                    )[1]
+                    for s in range(S)
+                ]
+            )
+        samples[data.name] = PoseSample(
+            name=data.name,
+            lig_pos=result.lig_pos[:, :nl],
+            rmsds=rmsds,
+            sc_pos=sc_pos,
+            sc_rmsds=sc_rmsds,
+        )
+    with open(path, "wb") as fh:
+        pickle.dump(samples, fh)
+    logger.info("generated poses for %d complexes -> %s", len(samples), path)
+    return path
+
+
+def combine_pose_caches(paths: list[str]) -> dict[str, PoseSample]:
+    """Merge several generation rounds; complexes present in every round
+    (name intersection, reference dataset.py:210-318) get their samples
+    concatenated."""
+    caches = []
+    for p in paths:
+        with open(p, "rb") as fh:
+            caches.append(pickle.load(fh))
+    names = set(caches[0])
+    for c in caches[1:]:
+        names &= set(c)
+    merged = {}
+    for name in names:
+        entries = [c[name] for c in caches]
+        merged[name] = PoseSample(
+            name=name,
+            lig_pos=np.concatenate([e.lig_pos for e in entries]),
+            rmsds=np.concatenate([e.rmsds for e in entries]),
+            sc_pos=(
+                np.concatenate([e.sc_pos for e in entries])
+                if entries[0].sc_pos is not None
+                else None
+            ),
+            sc_rmsds=(
+                np.concatenate([e.sc_rmsds for e in entries])
+                if entries[0].sc_rmsds is not None
+                else None
+            ),
+        )
+    return merged
+
+
+class FilteringDataset:
+    """(pose, label) example source for confidence training.
+
+    Labels: binary y = (rmsd < rmsd_cutoff) & (sc_rmsd < sc_rmsd_cutoff)
+    (multi-cutoff binning supported via ``rmsd_classification_cutoff`` being
+    a list, reference dataset.py:415-434)."""
+
+    def __init__(
+        self,
+        dataset: DockingDataset,
+        poses: dict[str, PoseSample],
+        rmsd_classification_cutoff=2.0,
+        sc_rmsd_classification_cutoff=1.0,
+        balance: bool = False,
+    ):
+        self.dataset = dataset
+        self.poses = poses
+        self.rmsd_cutoff = rmsd_classification_cutoff
+        self.sc_cutoff = sc_rmsd_classification_cutoff
+        self.balance = balance
+        self.index = [
+            i
+            for i in range(len(dataset))
+            if str(dataset.df.iloc[i].get("complex_name", i)) in poses
+        ]
+
+    def __len__(self):
+        return len(self.index)
+
+    def label(self, rmsd: float, sc_rmsd: Optional[float]) -> float:
+        if isinstance(self.rmsd_cutoff, (list, tuple)):
+            # multi-cutoff class index
+            return float(
+                sum(rmsd >= c for c in sorted(self.rmsd_cutoff))
+            )
+        ok = rmsd < self.rmsd_cutoff
+        if sc_rmsd is not None:
+            ok = ok and (sc_rmsd < self.sc_cutoff)
+        return float(ok)
+
+    def get(self, idx: int, rng: np.random.Generator):
+        """One training example: the complex graph with a sampled pose's
+        positions written in, plus its label."""
+        data = self.dataset.get(self.index[idx])
+        if data is None:
+            return None
+        pose = self.poses[data.name]
+        s = int(rng.integers(len(pose.rmsds)))
+        raw = dict(data.raw)
+        raw["lig_pos"] = pose.lig_pos[s]
+        if pose.sc_pos is not None:
+            raw["atom_pos"] = pose.sc_pos[s]
+        y = self.label(
+            float(pose.rmsds[s]),
+            float(pose.sc_rmsds[s]) if pose.sc_rmsds is not None else None,
+        )
+        return ComplexData(
+            raw=raw, name=data.name, ligand=data.ligand,
+            receptor_arrays=data.receptor_arrays,
+            flex_residue_ids=data.flex_residue_ids,
+            pocket_center=data.pocket_center,
+        ), y

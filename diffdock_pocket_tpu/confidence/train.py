@@ -1,0 +1,226 @@
+"""Confidence (filtering) model trainer.
+
+Parity targets (reference filtering/filtering_train.py): BCE-with-logits for
+the binary (rmsd<2 & sc_rmsd<1) label (cross-entropy for binned cutoffs, MSE
+for rmsd regression), accuracy/ROC-AUC metrics, optional transfer-weight init
+from a score-model checkpoint, best/last checkpointing by --main_metric.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import graph as graphlib
+from ..models.config import ModelConfig
+from ..models.score_model import get_model
+from ..pipeline import init_random_variables
+from ..utils import checkpoint as ckpt
+from .dataset import FilteringDataset
+
+logger = logging.getLogger(__name__)
+
+
+def make_confidence_train_step(model, optimizer, loss_type: str = "bce"):
+    def loss_fn(params, batch_stats, key, g, y):
+        t = {k: jnp.zeros((g.lig_pos.shape[0],)) for k in ("tr", "rot", "tor", "sc_tor")}
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g, t, None, train=True, rngs={"dropout": key}, mutable=["batch_stats"],
+        )
+        if loss_type == "bce":
+            loss = optax.sigmoid_binary_cross_entropy(logits, y).mean()
+            acc = jnp.mean((logits > 0) == (y > 0.5))
+        elif loss_type == "crossentropy":
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y.astype(jnp.int32)
+            ).mean()
+            acc = jnp.mean(jnp.argmax(logits, -1) == y.astype(jnp.int32))
+        else:  # mse regression on rmsd
+            loss = jnp.mean((logits - y) ** 2)
+            acc = jnp.zeros(())
+        return loss, (acc, mutated["batch_stats"], logits)
+
+    def step(params, batch_stats, opt_state, key, g, y):
+        (loss, (acc, new_bs, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, key, g, y)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, new_opt, {"loss": loss, "accuracy": acc}
+
+    return step
+
+
+def make_confidence_eval_step(model, loss_type: str = "bce"):
+    def step(params, batch_stats, g, y):
+        t = {k: jnp.zeros((g.lig_pos.shape[0],)) for k in ("tr", "rot", "tor", "sc_tor")}
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats}, g, t, None, train=False
+        )
+        if loss_type == "bce":
+            loss = optax.sigmoid_binary_cross_entropy(logits, y).mean()
+        elif loss_type == "crossentropy":
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y.astype(jnp.int32)
+            ).mean()
+        else:
+            loss = jnp.mean((logits - y) ** 2)
+        return loss, logits
+
+    return step
+
+
+def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Rank-based ROC-AUC (Mann-Whitney U)."""
+    pos = scores[labels > 0.5]
+    neg = scores[labels <= 0.5]
+    if len(pos) == 0 or len(neg) == 0:
+        return 0.5
+    order = np.argsort(np.concatenate([pos, neg]))
+    ranks = np.empty(len(order))
+    ranks[order] = np.arange(1, len(order) + 1)
+    r_pos = ranks[: len(pos)].sum()
+    u = r_pos - len(pos) * (len(pos) + 1) / 2
+    return float(u / (len(pos) * len(neg)))
+
+
+class ConfidenceTrainer:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        train_data: FilteringDataset,
+        val_data: FilteringDataset,
+        run_dir: str,
+        lr: float = 3e-4,
+        batch_size: int = 16,
+        loss_type: str = "bce",
+        main_metric: str = "loss",
+        main_metric_goal: str = "min",
+        transfer_params=None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.train_data = train_data
+        self.val_data = val_data
+        self.run_dir = run_dir
+        self.batch_size = batch_size
+        self.loss_type = loss_type
+        self.main_metric = main_metric
+        self.main_metric_goal = main_metric_goal
+        self.seed = seed
+        os.makedirs(run_dir, exist_ok=True)
+        ckpt.save_yaml_config(run_dir, cfg)
+        self.model = get_model(cfg)
+        self.optimizer = optax.adam(lr)
+        self.train_step = jax.jit(
+            make_confidence_train_step(self.model, self.optimizer, loss_type)
+        )
+        self.eval_step = jax.jit(make_confidence_eval_step(self.model, loss_type))
+        self.transfer_params = transfer_params
+        self.best = None
+
+    def _batches(self, data: FilteringDataset, rng):
+        """Yield (stacked graph, labels) bucket-uniform batches."""
+        examples = []
+        for i in range(len(data)):
+            ex = data.get(i, rng)
+            if ex is not None:
+                examples.append(ex)
+        # group by bucket signature
+        from ..data.dataset import bucket_key
+
+        groups = {}
+        for d, y in examples:
+            groups.setdefault(bucket_key(d.raw), []).append((d, y))
+        for group in groups.values():
+            for i in range(0, len(group), self.batch_size):
+                batch = group[i : i + self.batch_size]
+                n_real = len(batch)
+                while len(batch) < self.batch_size:
+                    batch.append(batch[len(batch) % n_real])
+                g = graphlib.stack([graphlib.from_raw(d.raw) for d, _ in batch])
+                y = jnp.asarray([y for _, y in batch])
+                yield g, y
+
+    def fit(self, n_epochs: int):
+        rng = np.random.default_rng(self.seed)
+        key = jax.random.PRNGKey(self.seed)
+        params = batch_stats = opt_state = None
+        for epoch in range(n_epochs):
+            t0 = time.time()
+            losses, accs = [], []
+            for g, y in self._batches(self.train_data, rng):
+                if params is None:
+                    variables = init_random_variables(self.cfg, g, seed=self.seed)
+                    params = variables["params"]
+                    if self.transfer_params is not None:
+                        params = _transfer_matching(params, self.transfer_params)
+                    batch_stats = variables.get("batch_stats", {})
+                    opt_state = self.optimizer.init(params)
+                key, sub = jax.random.split(key)
+                params, batch_stats, opt_state, aux = self.train_step(
+                    params, batch_stats, opt_state, sub, g, y
+                )
+                losses.append(float(aux["loss"]))
+                accs.append(float(aux["accuracy"]))
+
+            val_losses, val_scores, val_labels = [], [], []
+            for g, y in self._batches(self.val_data, rng):
+                loss, logits = self.eval_step(params, batch_stats, g, y)
+                val_losses.append(float(loss))
+                val_scores.append(np.asarray(logits).reshape(-1))
+                val_labels.append(np.asarray(y).reshape(-1))
+            metrics = {
+                "loss": float(np.mean(losses)) if losses else 0.0,
+                "accuracy": float(np.mean(accs)) if accs else 0.0,
+                "val_loss": float(np.mean(val_losses)) if val_losses else 0.0,
+            }
+            if val_scores and self.loss_type == "bce":
+                metrics["val_roc_auc"] = roc_auc(
+                    np.concatenate(val_labels), np.concatenate(val_scores)
+                )
+            logger.info(
+                "confidence epoch %d (%.1fs): %s", epoch, time.time() - t0,
+                {k: round(v, 4) for k, v in metrics.items()},
+            )
+            self._checkpoint(params, batch_stats, metrics)
+        return params, batch_stats
+
+    def _checkpoint(self, params, batch_stats, metrics):
+        v = metrics.get(
+            self.main_metric, metrics.get(f"val_{self.main_metric}", metrics["val_loss"])
+        )
+        better = self.best is None or (
+            v > self.best if self.main_metric_goal == "max" else v < self.best
+        )
+        state = {"params": params, "batch_stats": batch_stats}
+        if better:
+            self.best = v
+            ckpt.save_checkpoint(os.path.join(self.run_dir, "best_model"), state)
+        ckpt.save_checkpoint(os.path.join(self.run_dir, "last_model"), state)
+
+
+def _transfer_matching(params, source):
+    """Copy parameters whose path+shape match (reference transfer_weights
+    init from the score model, filtering_train.py:483-492)."""
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(source)[0])
+    out = {}
+    n = 0
+    for k, v in flat_t.items():
+        s = flat_s.get(k)
+        if s is not None and s.shape == v.shape:
+            out[k] = s
+            n += 1
+        else:
+            out[k] = v
+    logger.info("transferred %d/%d parameter tensors", n, len(flat_t))
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, [out[k] for k, _ in jax.tree_util.tree_flatten_with_path(params)[0]])

@@ -1,0 +1,306 @@
+"""Trainer: epoch loop, validation (incl. full reverse-diffusion docking
+metrics), plateau LR scheduling, multi-criteria best checkpointing.
+
+Parity targets (reference):
+- train loop + checkpoint criteria      train.py:24-144 (best model per val
+  loss / valinf rmsds_lt2 / sc-tor loss / sc-rmsd / steric clashes +
+  last_model with optimizer/EMA for restart)
+- AverageMeter (+ sigma intervals)      utils/training.py:112-144
+- inference_epoch (val docking)         utils/training.py:259-459
+- ReduceLROnPlateau on inference metric train.py:130-134
+
+TPU-native: jitted train/eval steps over bucketed static-shape batches; the
+plateau scheduler adjusts a host-side LR scale passed through optax
+inject_hyperparams.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import evaluation, graph as graphlib, sampling, training
+from .data import dataset as ds
+from .models.score_model import get_model
+from .pipeline import DockingPipeline, init_random_variables
+from .utils import checkpoint as ckpt
+
+logger = logging.getLogger(__name__)
+
+
+class AverageMeter:
+    """Running means of named metrics, optionally bucketed into sigma
+    intervals (reference utils/training.py:112-144)."""
+
+    def __init__(self, types, intervals: int = 1):
+        self.types = list(types)
+        self.intervals = intervals
+        self.acc = defaultdict(float)
+        self.count = defaultdict(float)
+
+    def add(self, vals: dict, t_tr: np.ndarray | None = None):
+        for k in self.types:
+            if k not in vals:
+                continue
+            v = np.asarray(vals[k])
+            self.acc[k] += float(v.sum() if v.ndim else v)
+            self.count[k] += float(v.size if v.ndim else 1)
+            if self.intervals > 1 and t_tr is not None and v.ndim:
+                idx = np.clip((t_tr * self.intervals).astype(int), 0, self.intervals - 1)
+                for i in range(self.intervals):
+                    m = idx == i
+                    if m.any():
+                        self.acc[f"{k}_interval{i}"] += float(v[m].sum())
+                        self.count[f"{k}_interval{i}"] += float(m.sum())
+
+    def summary(self) -> dict:
+        return {k: self.acc[k] / max(self.count[k], 1e-9) for k in self.acc}
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau equivalent: scale LR by factor after `patience`
+    epochs without improvement."""
+
+    def __init__(self, mode="max", factor=0.7, patience=30, min_lr=1e-6):
+        self.mode = mode
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = -np.inf if mode == "max" else np.inf
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, metric: float, base_lr: float) -> float:
+        improved = metric > self.best if self.mode == "max" else metric < self.best
+        if improved:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale *= self.factor
+                self.bad_epochs = 0
+        return max(base_lr * self.scale, self.min_lr)
+
+
+class Trainer:
+    def __init__(self, args, model_cfg, noise_cfg, loss_weights, train_set, val_set):
+        self.args = args
+        self.model_cfg = model_cfg
+        self.noise_cfg = noise_cfg
+        self.loss_weights = loss_weights
+        self.train_set = train_set
+        self.val_set = val_set
+        self.run_dir = os.path.join(args.log_dir, args.run_name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        ckpt.save_yaml_config(self.run_dir, model_cfg)
+
+        self.model = get_model(model_cfg)
+        base_opt = optax.adamw if args.adamw else optax.adam
+        self.optimizer = optax.inject_hyperparams(base_opt)(learning_rate=args.lr)
+        self.train_step = jax.jit(
+            training.make_train_step(
+                self.model, self.optimizer, model_cfg.sigma, noise_cfg,
+                loss_weights, ema_decay=args.ema_rate,
+            )
+        )
+        self.eval_step = jax.jit(
+            training.make_eval_step(self.model, model_cfg.sigma, noise_cfg, loss_weights)
+        )
+        self.scheduler = PlateauScheduler(
+            mode=args.main_metric_goal, patience=args.scheduler_patience
+        )
+        self.best = {}
+
+    # ------------------------------------------------------------------
+    def _batches(self, dataset, rng=None):
+        complexes = dataset.preprocess_all()
+        for batch in ds.bucketed_batches(
+            complexes, self.args.batch_size, shuffle_rng=rng
+        ):
+            yield graphlib.stack([graphlib.from_raw(c.raw) for c in batch]), batch
+
+    def fit(self):
+        args = self.args
+        key = jax.random.PRNGKey(args.seed)
+
+        # init from the first training batch's shapes
+        first = None
+        for g, _ in self._batches(self.train_set):
+            first = g
+            break
+        if first is None:
+            raise RuntimeError("empty training set")
+        variables = init_random_variables(self.model_cfg, first, seed=args.seed)
+        state = training.create_train_state(variables, self.optimizer)
+
+        if args.restart_dir:
+            state = ckpt.load_checkpoint(
+                os.path.join(args.restart_dir, "last_model"), state
+            )
+            logger.info("restarted from %s", args.restart_dir)
+
+        for epoch in range(args.n_epochs):
+            t0 = time.time()
+            meter = AverageMeter(["loss", "tr_loss", "rot_loss", "tor_loss", "sc_tor_loss"])
+            rng = np.random.default_rng(args.seed + epoch)
+            for g, _ in self._batches(self.train_set, rng=rng):
+                key, sub = jax.random.split(key)
+                state, aux = self.train_step(state, sub, g)
+                meter.add(jax.device_get(aux))
+            train_stats = meter.summary()
+
+            # ---- validation loss (EMA weights) ---------------------------
+            val_meter = AverageMeter(
+                ["loss", "tr_loss", "rot_loss", "tor_loss", "sc_tor_loss"],
+                intervals=10 if args.test_sigma_intervals else 1,
+            )
+            eval_params = state.ema.params if args.use_ema else state.params
+            for g, _ in self._batches(self.val_set):
+                key, sub = jax.random.split(key)
+                aux = jax.device_get(
+                    self.eval_step(eval_params, state.batch_stats, sub, g)
+                )
+                t_tr = aux.pop("t_tr")
+                val_meter.add(aux, t_tr=t_tr)
+            val_stats = {f"val_{k}": v for k, v in val_meter.summary().items()}
+
+            metrics = {**train_stats, **val_stats, "epoch": epoch}
+
+            # ---- periodic validation docking ----------------------------
+            if args.val_inference_freq and (epoch + 1) % args.val_inference_freq == 0:
+                key, sub = jax.random.split(key)
+                inf = self.inference_epoch(eval_params, state.batch_stats, sub)
+                metrics.update({f"valinf_{k}": v for k, v in inf.items()})
+
+            lr = self.scheduler.step(
+                metrics.get(
+                    args.main_metric.replace("valinf_", "valinf_"),
+                    metrics.get("val_loss", 0.0),
+                ),
+                args.lr,
+            )
+            state = state._replace(
+                opt_state=_set_lr(state.opt_state, lr)
+            )
+            metrics["lr"] = lr
+            logger.info(
+                "epoch %d (%.1fs): %s", epoch, time.time() - t0,
+                {k: round(v, 4) for k, v in metrics.items() if isinstance(v, float)},
+            )
+
+            self._checkpoint(state, metrics, epoch)
+
+    # ------------------------------------------------------------------
+    def inference_epoch(self, params, batch_stats, key) -> dict:
+        """Full reverse-diffusion docking on up to num_inference_complexes
+        validation complexes; rmsd + sc-rmsd + steric-clash metrics
+        (reference utils/training.py:259-459)."""
+        args = self.args
+        pipe = DockingPipeline(
+            model_cfg=self.model_cfg,
+            variables={"params": params, "batch_stats": batch_stats},
+            sampler_cfg=sampling.SamplerConfig(
+                inference_steps=args.inference_steps,
+                flexible_sidechains=self.model_cfg.flexible_sidechains,
+                no_torsion=self.model_cfg.no_torsion,
+            ),
+            samples_per_complex=args.inference_samples,
+            batch_size=args.inference_samples,
+        )
+        rmsds, sc_rmsds, clashes = [], [], []
+        n = 0
+        for i in range(len(self.val_set)):
+            if n >= args.num_inference_complexes:
+                break
+            data = self.val_set.get(i)
+            if data is None:
+                continue
+            key, sub = jax.random.split(key)
+            try:
+                result = pipe.dock(data, sub)
+            except Exception as e:
+                logger.warning("val docking failed for %s: %s", data.name, e)
+                continue
+            n += 1
+            nl = len(data.raw["lig_pos"])
+            true = data.raw["lig_orig_pos"]
+            best = min(
+                evaluation.rmsd(result.lig_pos[s][:nl], true)
+                for s in range(result.lig_pos.shape[0])
+            )
+            rmsds.append(best)
+            if self.model_cfg.flexible_sidechains and data.raw["sc_bond_index"].size:
+                na = len(data.raw["atom_pos"])
+                _, overall = evaluation.sidechain_rmsds(
+                    result.atom_pos[0][:na], data.raw["atom_orig_pos"],
+                    data.raw["sc_rotate_mask"], data.raw["sc_res_index"],
+                )
+                sc_rmsds.append(overall)
+                elements = evaluation.elements_from_atom_feat(data.raw["atom_feat"])
+                lig_el = [
+                    s for s in data.ligand.symbols
+                ]
+                clashes.append(
+                    evaluation.rec_lig_clashes(
+                        result.atom_pos[0][:na], elements,
+                        result.lig_pos[0][:nl], lig_el,
+                    )
+                )
+        rmsds = np.asarray(rmsds)
+        out = {
+            "rmsds_lt2": float(np.mean(rmsds < 2.0)) if len(rmsds) else 0.0,
+            "rmsds_lt5": float(np.mean(rmsds < 5.0)) if len(rmsds) else 0.0,
+            "mean_rmsd": float(rmsds.mean()) if len(rmsds) else 0.0,
+        }
+        if sc_rmsds:
+            sc = np.asarray(sc_rmsds)
+            out.update(
+                {
+                    "sc_rmsds_lt05": float(np.mean(sc < 0.5)),
+                    "sc_rmsds_lt1": float(np.mean(sc < 1.0)),
+                    "mean_sc_rmsd": float(sc.mean()),
+                    "mean_steric_clashes": float(np.mean(clashes)),
+                }
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    def _checkpoint(self, state, metrics, epoch):
+        """best-per-criterion + last (reference train.py:101-141)."""
+        criteria = {
+            "best_model": ("val_loss", "min"),
+            "best_inference_epoch_model": ("valinf_rmsds_lt2", "max"),
+            "best_sc_tor_model": ("val_sc_tor_loss", "min"),
+            "best_sc_rmsd_model": ("valinf_mean_sc_rmsd", "min"),
+            "best_steric_clash_model": ("valinf_mean_steric_clashes", "min"),
+        }
+        for name, (metric, goal) in criteria.items():
+            if metric not in metrics:
+                continue
+            v = metrics[metric]
+            prev = self.best.get(name)
+            better = prev is None or (v > prev if goal == "max" else v < prev)
+            if better:
+                self.best[name] = v
+                ckpt.save_checkpoint(os.path.join(self.run_dir, name), state.params)
+                if self.args.use_ema:
+                    ckpt.save_checkpoint(
+                        os.path.join(self.run_dir, f"{name}_ema"), state.ema.params
+                    )
+        ckpt.save_checkpoint(os.path.join(self.run_dir, "last_model"), state)
+
+
+def _set_lr(opt_state, lr):
+    """Update the injected learning-rate hyperparameter in-place."""
+    try:
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+    except (AttributeError, TypeError):
+        pass
+    return opt_state

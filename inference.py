@@ -1,0 +1,246 @@
+"""Inference CLI: end-to-end pocket-level docking with flexible side chains.
+
+Usage parity with the reference inference entry point (inference.py:49-508):
+
+    python inference.py --protein_path example/3dpf_protein.pdb \
+        --ligand example/3dpf_ligand.sdf --samples_per_complex 4 \
+        --batch_size 8 --keep_local_structures --save_visualisation
+
+or batched over a CSV (columns: complex_name, experimental_protein, ligand,
+optional pocket_center_x/y/z, flexible_sidechains):
+
+    python inference.py --protein_ligand_csv data/protein_ligand_example.csv
+
+Outputs per complex under --out_dir: rank{k}_confidence{c}.sdf ligand poses,
+rank{k}_protein.pdb receptors with predicted side chains, and (with
+--save_visualisation) reverse-diffusion trajectory PDBs.
+
+Differences vs the reference (documented):
+- model weights come from a local run dir (model_parameters.yml + orbax
+  checkpoint, utils/checkpoint.py) or --random_weights for smoke tests; the
+  GitHub release auto-download is replaced by --score_model_dir /
+  --filtering_model_dir (this environment has no egress).
+- --relax (OpenMM energy minimization) is gated: it requires OpenMM which is
+  not shipped here; requesting it raises a clear error.
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from diffdock_pocket_tpu import runtime  # noqa: E402
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default=None, help="YAML overlay of these flags")
+    # inputs
+    p.add_argument("--protein_path", type=str, default=None)
+    p.add_argument("--ligand", type=str, default=None, help="ligand file (sdf/mol2/pdb)")
+    p.add_argument("--protein_ligand_csv", type=str, default=None)
+    p.add_argument("--complex_name", type=str, default="complex")
+    p.add_argument("--flexible_sidechains", type=str, default=None,
+                   help="predefined flexible residues, e.g. A:130-A:142")
+    p.add_argument("--pocket_center_x", type=float, default=None)
+    p.add_argument("--pocket_center_y", type=float, default=None)
+    p.add_argument("--pocket_center_z", type=float, default=None)
+    p.add_argument("--keep_local_structures", action="store_true", default=True)
+    p.add_argument("--keep_input_protein", action="store_true")
+    # models
+    p.add_argument("--score_model_dir", type=str, default=None)
+    p.add_argument("--score_ckpt", type=str, default="best_ema_inference_epoch_model")
+    p.add_argument("--filtering_model_dir", type=str, default=None)
+    p.add_argument("--filtering_ckpt", type=str, default="best_model")
+    p.add_argument("--random_weights", action="store_true",
+                   help="random-init models (smoke/benchmark use)")
+    # sampling
+    p.add_argument("--samples_per_complex", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--inference_steps", type=int, default=30)
+    p.add_argument("--actual_steps", type=int, default=None)
+    p.add_argument("--no_final_step_noise", action="store_true", default=True)
+    p.add_argument("--ode", action="store_true")
+    p.add_argument("--no_random", action="store_true")
+    p.add_argument("--sigma_schedule", type=str, default="expbeta")
+    p.add_argument("--inf_sched_alpha", type=float, default=1)
+    p.add_argument("--inf_sched_beta", type=float, default=1)
+    # low-temperature sampling (reference defaults, inference.py:89-101)
+    p.add_argument("--temp_sampling_tr", type=float, default=1.170)
+    p.add_argument("--temp_psi_tr", type=float, default=1.727)
+    p.add_argument("--temp_sampling_rot", type=float, default=2.06)
+    p.add_argument("--temp_psi_rot", type=float, default=0.9)
+    p.add_argument("--temp_sampling_tor", type=float, default=7.04)
+    p.add_argument("--temp_psi_tor", type=float, default=0.31)
+    p.add_argument("--temp_sampling_sc_tor", type=float, default=1.72)
+    p.add_argument("--temp_psi_sc_tor", type=float, default=0.579)
+    p.add_argument("--temp_sigma_data", type=float, default=0.5)
+    # outputs
+    p.add_argument("--out_dir", type=str, default="results/user_inference")
+    p.add_argument("--save_visualisation", action="store_true")
+    p.add_argument("--relax", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def load_model_and_cfg(args, run_dir, ckpt_name, example_graph, confidence=False):
+    import jax
+
+    from diffdock_pocket_tpu import pipeline
+    from diffdock_pocket_tpu.models.config import (
+        BIG_SCORE_CONFIG, CONFIDENCE_CONFIG, ModelConfig,
+    )
+    from diffdock_pocket_tpu.utils import checkpoint as ckpt
+
+    if run_dir is not None:
+        cfg = ckpt.load_yaml_config(run_dir)
+        variables = ckpt.load_checkpoint(os.path.join(run_dir, ckpt_name))
+        return cfg, variables
+    if not args.random_weights:
+        raise SystemExit(
+            "No model dir given; pass --score_model_dir (a trained run dir) "
+            "or --random_weights for a smoke run."
+        )
+    cfg = CONFIDENCE_CONFIG if confidence else BIG_SCORE_CONFIG
+    variables = pipeline.init_random_variables(cfg, example_graph)
+    return cfg, variables
+
+
+def main():
+    args = get_parser().parse_args()
+    if args.config:
+        import yaml
+
+        with open(args.config) as fh:
+            overlay = yaml.safe_load(fh)
+        for k, v in (overlay or {}).items():
+            if hasattr(args, k):
+                setattr(args, k, v)
+
+    if args.relax:
+        raise SystemExit(
+            "--relax requires OpenMM, which is not available in this build; "
+            "run the OpenMM relaxation step externally on the output poses."
+        )
+
+    runtime.setup()
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import numpy as np
+
+    from diffdock_pocket_tpu import graph as graphlib
+    from diffdock_pocket_tpu import pipeline, sampling, visualise
+    from diffdock_pocket_tpu.data import dataset as ds
+    from diffdock_pocket_tpu.data.featurize import DataConfig
+    import pandas as pd
+
+    # --- input table -------------------------------------------------------
+    if args.protein_ligand_csv:
+        df = ds.load_protein_ligand_df(args.protein_ligand_csv)
+    else:
+        assert args.protein_path and args.ligand, "need --protein_path and --ligand"
+        row = {
+            "complex_name": args.complex_name,
+            "experimental_protein": args.protein_path,
+            "ligand_path": args.ligand,
+            "flexible_sidechains": args.flexible_sidechains,
+        }
+        if args.pocket_center_x is not None:
+            for a in "xyz":
+                row[f"pocket_center_{a}"] = getattr(args, f"pocket_center_{a}")
+        df = ds.load_protein_ligand_df(df=pd.DataFrame([row]))
+
+    data_cfg = DataConfig(keep_local_structures=args.keep_local_structures)
+    dataset = ds.DockingDataset(df, data_cfg)
+
+    # --- models ------------------------------------------------------------
+    first = dataset.get(0)
+    if first is None:
+        raise SystemExit("could not featurize the first complex")
+    g_ex = graphlib.replicate(graphlib.from_raw(first.raw), min(args.batch_size, args.samples_per_complex))
+    score_cfg, score_vars = load_model_and_cfg(
+        args, args.score_model_dir, args.score_ckpt, g_ex
+    )
+    conf_cfg = conf_vars = None
+    if args.filtering_model_dir or args.random_weights:
+        conf_cfg, conf_vars = load_model_and_cfg(
+            args, args.filtering_model_dir, args.filtering_ckpt, g_ex, confidence=True
+        )
+
+    steps = args.actual_steps or args.inference_steps
+    pipe = pipeline.DockingPipeline(
+        model_cfg=score_cfg,
+        variables=score_vars,
+        sampler_cfg=sampling.SamplerConfig(
+            inference_steps=steps,
+            no_random=args.no_random,
+            ode=args.ode,
+            no_final_step_noise=args.no_final_step_noise,
+            no_torsion=score_cfg.no_torsion,
+            flexible_sidechains=score_cfg.flexible_sidechains,
+            temp_sampling=(args.temp_sampling_tr, args.temp_sampling_rot,
+                           args.temp_sampling_tor, args.temp_sampling_sc_tor),
+            temp_psi=(args.temp_psi_tr, args.temp_psi_rot,
+                      args.temp_psi_tor, args.temp_psi_sc_tor),
+            temp_sigma_data=args.temp_sigma_data,
+            return_trajectory=args.save_visualisation,
+        ),
+        confidence_cfg=conf_cfg,
+        confidence_variables=conf_vars,
+        samples_per_complex=args.samples_per_complex,
+        batch_size=args.batch_size,
+        sigma_schedule=args.sigma_schedule,
+        inf_sched_alpha=args.inf_sched_alpha,
+        inf_sched_beta=args.inf_sched_beta,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    failures = 0
+    for idx in range(len(dataset)):
+        data = dataset.get(idx) if idx else first
+        if data is None:
+            failures += 1
+            continue
+        key, sub = jax.random.split(key)
+        try:
+            result = pipe.dock(data, sub)
+        except Exception as e:  # per-complex skip-and-continue
+            logging.exception("docking failed for %s: %s", data.name, e)
+            failures += 1
+            continue
+
+        out = os.path.join(args.out_dir, data.name)
+        os.makedirs(out, exist_ok=True)
+        nl = len(data.raw["lig_pos"])
+        na = len(data.raw["atom_pos"])
+        for rank in range(result.lig_pos.shape[0]):
+            conf_tag = (
+                f"_confidence{result.confidence[rank]:.2f}"
+                if result.confidence is not None
+                else ""
+            )
+            visualise.write_ligand_sdf(
+                os.path.join(out, f"rank{rank + 1}{conf_tag}.sdf"),
+                data.ligand, result.lig_pos[rank][:nl], result.center,
+                name=data.name,
+            )
+            visualise.write_receptor_with_sidechains(
+                os.path.join(out, f"rank{rank + 1}_protein.pdb"),
+                data.receptor_arrays, result.atom_pos[rank][:na], result.center,
+            )
+        if args.save_visualisation and result.trajectory is not None:
+            lig_traj = result.trajectory[0]  # [steps, S, NL, 3]
+            for rank in range(min(3, lig_traj.shape[1])):
+                w = visualise.LigandTrajectoryWriter(data.ligand)
+                for step in range(lig_traj.shape[0]):
+                    w.add(lig_traj[step, rank][:nl] + result.center)
+                w.write(os.path.join(out, f"rank{rank + 1}_reverseprocess.pdb"))
+        logging.info("finished %s -> %s", data.name, out)
+
+    logging.info("done; %d/%d complexes failed", failures, len(dataset))
+
+
+if __name__ == "__main__":
+    main()
