@@ -1,0 +1,208 @@
+"""Confidence (filtering) model training CLI.
+
+Usage parity with the reference (python -m filtering.filtering_train,
+filtering/filtering_train.py:32-523): load a frozen score model from
+--original_model_dir, generate `samples_per_complex` poses per training
+complex (cached per --cache_creation_id; multiple rounds combined with
+--cache_ids_to_combine), label them by RMSD cutoffs, and train the
+confidence model (BCE / binned CE / MSE).
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from diffdock_pocket_tpu import runtime  # noqa: E402
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--run_name", type=str, default="confidence_model")
+    p.add_argument("--log_dir", type=str, default="workdir")
+    p.add_argument("--original_model_dir", type=str, required=True,
+                   help="run dir of the frozen score model used for generation")
+    p.add_argument("--ckpt", type=str, default="best_ema_inference_epoch_model")
+    p.add_argument("--restart_dir", type=str, default=None)
+    # data
+    p.add_argument("--data_dir", type=str, default="data/PDBBIND_atomCorrected")
+    p.add_argument("--protein_ligand_csv", type=str, default=None)
+    p.add_argument("--split_train", type=str, default="data/splits/timesplit_no_lig_overlap_train")
+    p.add_argument("--split_val", type=str, default="data/splits/timesplit_no_lig_overlap_val_aligned")
+    p.add_argument("--protein_file", type=str, default="protein_esmfold_aligned_tr_fix")
+    p.add_argument("--cache_path", type=str, default=".cache/data_filtering")
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--esm_embeddings_path", type=str, default=None)
+    p.add_argument("--pocket_reduction", action="store_true", default=True)
+    p.add_argument("--pocket_buffer", type=float, default=10.0)
+    p.add_argument("--remove_hs", action="store_true", default=True)
+    p.add_argument("--c_alpha_max_neighbors", type=int, default=24)
+    p.add_argument("--receptor_radius", type=float, default=15.0)
+    p.add_argument("--all_atoms", action="store_true", default=True)
+    # generation
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--samples_per_complex", type=int, default=7)
+    p.add_argument("--cache_creation_id", type=int, default=None)
+    p.add_argument("--cache_ids_to_combine", type=int, nargs="+", default=None)
+    # labels
+    p.add_argument("--rmsd_classification_cutoff", type=float, nargs="+", default=[2.0])
+    p.add_argument("--sc_rmsd_classification_cutoff", type=float, default=1.0)
+    p.add_argument("--rmsd_prediction", action="store_true")
+    p.add_argument("--balance", action="store_true")
+    # model
+    p.add_argument("--ns", type=int, default=24)
+    p.add_argument("--nv", type=int, default=6)
+    p.add_argument("--num_conv_layers", type=int, default=5)
+    p.add_argument("--sh_lmax", type=int, default=1)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--dynamic_max_cross", action="store_true", default=True)
+    p.add_argument("--scale_by_sigma", action="store_true", default=True)
+    p.add_argument("--confidence_no_batchnorm", action="store_true")
+    p.add_argument("--confidence_dropout", type=float, default=0.0)
+    p.add_argument("--transfer_weights", action="store_true")
+    # training
+    p.add_argument("--n_epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--scheduler_patience", type=int, default=50)
+    p.add_argument("--main_metric", type=str, default="loss")
+    p.add_argument("--main_metric_goal", type=str, default="min")
+    p.add_argument("--best_model_save_frequency", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main():
+    args = get_parser().parse_args()
+    if args.config:
+        import yaml
+
+        with open(args.config) as fh:
+            overlay = yaml.safe_load(fh)
+        for k, v in (overlay or {}).items():
+            if hasattr(args, k):
+                setattr(args, k, v)
+    runtime.setup()
+    logging.basicConfig(level=logging.INFO)
+
+    import dataclasses
+
+    import jax
+
+    from diffdock_pocket_tpu import sampling
+    from diffdock_pocket_tpu.confidence.dataset import (
+        FilteringDataset, combine_pose_caches, generate_poses,
+    )
+    from diffdock_pocket_tpu.confidence.train import ConfidenceTrainer
+    from diffdock_pocket_tpu.data import dataset as ds
+    from diffdock_pocket_tpu.data.featurize import DataConfig
+    from diffdock_pocket_tpu.models.config import ModelConfig
+    from diffdock_pocket_tpu.pipeline import DockingPipeline
+    from diffdock_pocket_tpu.utils import checkpoint as ckpt
+
+    # frozen score model
+    score_cfg = ckpt.load_yaml_config(args.original_model_dir)
+    score_vars = ckpt.load_checkpoint(os.path.join(args.original_model_dir, args.ckpt))
+
+    data_cfg = DataConfig(
+        receptor_radius=args.receptor_radius,
+        c_alpha_max_neighbors=args.c_alpha_max_neighbors,
+        remove_hs=args.remove_hs, all_atoms=args.all_atoms,
+        pocket_reduction=args.pocket_reduction, pocket_buffer=args.pocket_buffer,
+        flexible_sidechains=score_cfg.flexible_sidechains,
+        keep_local_structures=False,
+    )
+
+    if args.protein_ligand_csv:
+        df_train = ds.load_protein_ligand_df(args.protein_ligand_csv)
+        df_val = df_train
+    else:
+        df_train = ds.df_from_split(args.split_train, args.data_dir, args.protein_file)
+        df_val = ds.df_from_split(args.split_val, args.data_dir, args.protein_file)
+    if args.limit_complexes:
+        df_train = df_train.iloc[: args.limit_complexes]
+        df_val = df_val.iloc[: args.limit_complexes]
+
+    train_set = ds.DockingDataset(df_train, data_cfg, cache_dir=args.cache_path)
+    val_set = ds.DockingDataset(df_val, data_cfg, cache_dir=args.cache_path)
+
+    pipe = DockingPipeline(
+        model_cfg=score_cfg,
+        variables=score_vars,
+        sampler_cfg=sampling.SamplerConfig(
+            inference_steps=args.inference_steps,
+            flexible_sidechains=score_cfg.flexible_sidechains,
+        ),
+        samples_per_complex=args.samples_per_complex,
+        batch_size=args.samples_per_complex,
+    )
+
+    # --- pose generation / cache combination ------------------------------
+    pose_dir = os.path.join(args.cache_path, "poses")
+    if args.cache_creation_id is not None:
+        for split, dset in (("train", train_set), ("val", val_set)):
+            generate_poses(
+                pipe, dset, os.path.join(pose_dir, split),
+                cache_creation_id=args.cache_creation_id, seed=args.seed,
+                limit=args.limit_complexes,
+            )
+    ids = args.cache_ids_to_combine or [args.cache_creation_id or 1]
+    poses = {}
+    for split in ("train", "val"):
+        paths = [
+            os.path.join(pose_dir, split, f"poses_id{i}.pkl")
+            for i in ids
+            if os.path.exists(os.path.join(pose_dir, split, f"poses_id{i}.pkl"))
+        ]
+        if not paths:
+            raise SystemExit(
+                f"no pose caches for split {split}; run with --cache_creation_id first"
+            )
+        poses[split] = combine_pose_caches(paths)
+
+    cutoff = (
+        args.rmsd_classification_cutoff[0]
+        if len(args.rmsd_classification_cutoff) == 1
+        else list(args.rmsd_classification_cutoff)
+    )
+    train_fd = FilteringDataset(
+        train_set, poses["train"], cutoff, args.sc_rmsd_classification_cutoff,
+        balance=args.balance,
+    )
+    val_fd = FilteringDataset(
+        val_set, poses["val"], cutoff, args.sc_rmsd_classification_cutoff
+    )
+
+    n_outputs = 1 if not isinstance(cutoff, list) else len(cutoff) + 1
+    conf_cfg = ModelConfig(
+        ns=args.ns, nv=args.nv, num_conv_layers=args.num_conv_layers,
+        sh_lmax=args.sh_lmax, dropout=args.dropout,
+        dynamic_max_cross=args.dynamic_max_cross,
+        all_atoms=args.all_atoms,
+        flexible_sidechains=score_cfg.flexible_sidechains,
+        confidence_mode=True, num_confidence_outputs=n_outputs,
+        confidence_dropout=args.confidence_dropout,
+        confidence_no_batchnorm=args.confidence_no_batchnorm,
+        atom_max_neighbors=score_cfg.atom_max_neighbors,
+        esm_embeddings_dim=score_cfg.esm_embeddings_dim,
+        sigma=score_cfg.sigma,
+    )
+    loss_type = (
+        "mse" if args.rmsd_prediction
+        else ("crossentropy" if isinstance(cutoff, list) else "bce")
+    )
+    trainer = ConfidenceTrainer(
+        conf_cfg, train_fd, val_fd,
+        run_dir=os.path.join(args.log_dir, args.run_name),
+        lr=args.lr, batch_size=args.batch_size, loss_type=loss_type,
+        main_metric=args.main_metric, main_metric_goal=args.main_metric_goal,
+        transfer_params=score_vars["params"] if args.transfer_weights else None,
+        seed=args.seed,
+    )
+    trainer.fit(args.n_epochs)
+
+
+if __name__ == "__main__":
+    main()
