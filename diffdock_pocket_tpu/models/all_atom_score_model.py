@@ -275,6 +275,7 @@ class AllAtomScoreModel(nn.Module):
                 return TPConv(
                     in_irreps=in_ir, sh_irreps=shirr, out_irreps=out_ir,
                     n_edge_features=3 * ns, dropout=cfg.dropout, faster=faster,
+                    low_precision_weights=cfg.low_precision_weights,
                     name=f"conv_{l}_{name}",
                 )
 
@@ -465,6 +466,7 @@ class AllAtomScoreModel(nn.Module):
             in_irreps=str(ladder[min(cfg.num_conv_layers, 3)]),
             sh_irreps=shirr, out_irreps=final_out,
             n_edge_features=2 * ns, dropout=cfg.dropout, faster=faster,
+            low_precision_weights=cfg.low_precision_weights,
             name="final_conv",
         )(lig_x, c_sh, c_attr, 1.0, deterministic=det)
         global_pred = aggregate.masked_mean(m_c, g.lig_mask, axis=1)  # [B, 12]
@@ -574,6 +576,7 @@ class AllAtomScoreModel(nn.Module):
             in_irreps=str(ladder[min(cfg.num_conv_layers, 3)]),
             sh_irreps=str(ftp.irreps_out), out_irreps=out_ir,
             n_edge_features=3 * ns, dropout=cfg.dropout, faster=False,
+            low_precision_weights=cfg.low_precision_weights,
             name=f"{name}_bond_conv",
         )(
             jnp.broadcast_to(node_x[:, None, :, :], (B, T, N, node_x.shape[-1])),

@@ -31,6 +31,10 @@ class ModelConfig:
     dropout: float = 0.0
     embedding_type: str = "sinusoidal"
     embedding_scale: float = 10000.0
+    # store the [edges, weight_numel] TP-weight tensors in bf16 (halves the
+    # dominant HBM traffic; weights are invariant scalars so equivariance is
+    # unaffected beyond ~0.3% rounding).  Disable for strict-fp32 testing.
+    low_precision_weights: bool = True
 
     # graph geometry
     lig_max_radius: float = 5.0

@@ -142,6 +142,8 @@ class TPConv(nn.Module):
     hidden_features: Optional[int] = None
     dropout: float = 0.0
     faster: bool = True
+    low_precision_weights: bool = False
+    fused: bool = True  # use the Pallas fused kernel on TPU (lmax=1 path)
 
     @nn.compact
     def __call__(
@@ -153,13 +155,47 @@ class TPConv(nn.Module):
         *,
         deterministic: bool = True,
     ) -> Array:
-        tp = make_tensor_product(self.in_irreps, self.sh_irreps, self.out_irreps, self.faster)
+        from ..ops.irreps import Irreps as _Irreps
+        from ..ops.pallas_tp import backend_is_tpu, fused_tp_messages
+
+        tp = make_tensor_product(self.in_irreps, self.sh_irreps, self.out_irreps,
+                                 self.faster, self.low_precision_weights)
         hidden = self.hidden_features or self.n_edge_features
-        w = MLP([hidden, tp.weight_numel], dropout=self.dropout)(
-            edge_attr, deterministic=deterministic
+
+        # first MLP layer (shared param layout between both execution paths)
+        h = nn.Dense(hidden, name="fc1")(edge_attr)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        w2 = self.param(
+            "fc2_kernel", nn.initializers.lecun_normal(), (hidden, tp.weight_numel)
         )
+        b2 = self.param("fc2_bias", nn.initializers.zeros, (tp.weight_numel,))
+
+        use_fused = self.fused and self.faster and backend_is_tpu()
+        if use_fused:
+            lead = h.shape[:-1]
+            if isinstance(edge_weight, float):
+                ew = jnp.full(lead, edge_weight, jnp.float32)
+            else:
+                ew = jnp.broadcast_to(edge_weight, lead)
+            msgs = fused_tp_messages(
+                h.reshape(-1, hidden),
+                x_dst.reshape(-1, x_dst.shape[-1]),
+                edge_sh.reshape(-1, edge_sh.shape[-1]),
+                ew.reshape(-1),
+                w2, b2,
+                str(_Irreps.parse(self.in_irreps)),
+                str(_Irreps.parse(self.out_irreps)),
+            )
+            return msgs.reshape(lead + (msgs.shape[-1],))
+
+        w = h @ w2 + b2
         if not isinstance(edge_weight, float):
             w = w * edge_weight[..., None]
         elif edge_weight != 1.0:
             w = w * edge_weight
+        if self.low_precision_weights:
+            # the [edges, weight_numel] tensor dominates HBM traffic; store
+            # it in bf16 (weights are invariant scalars — see ops docstring)
+            w = w.astype(jnp.bfloat16)
         return tp(x_dst, edge_sh, w)

@@ -176,6 +176,7 @@ class CGScoreModel(nn.Module):
             mk = lambda name: TPConv(
                 in_irreps=in_ir, sh_irreps=shirr, out_irreps=out_ir,
                 n_edge_features=3 * ns, dropout=cfg.dropout, faster=faster,
+                low_precision_weights=cfg.low_precision_weights,
                 name=f"conv_{l}_{name}",
             )
             def bn(name):
@@ -278,6 +279,7 @@ class CGScoreModel(nn.Module):
             in_irreps=str(ladder[min(cfg.num_conv_layers, 3)]),
             sh_irreps=shirr, out_irreps=final_out,
             n_edge_features=2 * ns, dropout=cfg.dropout, faster=faster,
+            low_precision_weights=cfg.low_precision_weights,
             name="final_conv",
         )(lig_x, shl(c_vec), c_attr, 1.0, deterministic=det)
         global_pred = aggregate.masked_mean(m_c, g.lig_mask, axis=1)
@@ -353,6 +355,7 @@ class CGScoreModel(nn.Module):
             in_irreps=str(ladder[min(cfg.num_conv_layers, 3)]),
             sh_irreps=str(ftp.irreps_out), out_irreps=out_ir,
             n_edge_features=3 * ns, dropout=cfg.dropout, faster=False,
+            low_precision_weights=cfg.low_precision_weights,
             name="tor_bond_conv",
         )(
             jnp.broadcast_to(lig_x[:, None, :, :], (B, T, NL, lig_x.shape[-1])),

@@ -45,6 +45,16 @@ _PREC = jax.lax.Precision.HIGHEST
 def _einsum(eq, *args):
     return jnp.einsum(eq, *args, precision=_PREC)
 
+
+def _einsum_fast(eq, *args):
+    """bf16-input einsum accumulating in fp32 — used for the per-edge weight
+    application when ``low_precision_weights`` is on.  The per-edge weights
+    are rotation-invariant scalars, so bf16 here costs ~0.3% noise and no
+    equivariance; it halves the dominant HBM traffic ([E, weight_numel]
+    tensors) and doubles MXU rate."""
+    cast = [a.astype(jnp.bfloat16) for a in args]
+    return jnp.einsum(eq, *cast, preferred_element_type=jnp.float32)
+
 from .irreps import Irrep, Irreps
 from .wigner import real_wigner_3j
 
@@ -74,9 +84,10 @@ class FasterTensorProduct:
 
     _KEYS = ("0e", "1o", "1e", "0o")
 
-    def __init__(self, in_irreps, sh_irreps, out_irreps):
+    def __init__(self, in_irreps, sh_irreps, out_irreps, low_precision_weights=False):
         self.in_irreps = Irreps.parse(in_irreps)
         self.out_irreps = Irreps.parse(out_irreps)
+        self.low_precision_weights = low_precision_weights
         sh = Irreps.parse(sh_irreps)
         assert sh.dim == 4 and sh.blocks[0][1].l == 0, "sh must be 1x0e+1x1o"
 
@@ -145,16 +156,17 @@ class FasterTensorProduct:
             ) / math.sqrt(max(fin, 1))
             start += n
 
+        ein = _einsum_fast if self.low_precision_weights else _einsum
         outs: dict[str, Array] = {}
         for key in self._KEYS:
             if not cand[key] or self.out_muls[key] == 0:
                 continue
             if key in ("0e", "0o"):
                 z = jnp.concatenate(cand[key], axis=-1)  # [..., fin]
-                outs[key] = _einsum("...i,...io->...o", z, wdict[key])
+                outs[key] = ein("...i,...io->...o", z, wdict[key])
             else:
                 z = jnp.concatenate(cand[key], axis=-2)  # [..., fin, 3]
-                outs[key] = _einsum("...ic,...io->...oc", z, wdict[key])
+                outs[key] = ein("...ic,...io->...oc", z, wdict[key])
 
         parts = []
         for mul, ir in self.out_irreps:
@@ -173,10 +185,11 @@ class FullyConnectedTensorProduct:
     ``sh`` blocks must have multiplicity 1 (true for all reference usages —
     spherical harmonics and their unweighted products)."""
 
-    def __init__(self, in_irreps, sh_irreps, out_irreps):
+    def __init__(self, in_irreps, sh_irreps, out_irreps, low_precision_weights=False):
         self.in_irreps = Irreps.parse(in_irreps)
         self.sh_irreps = Irreps.parse(sh_irreps)
         self.out_irreps = Irreps.parse(out_irreps)
+        self.low_precision_weights = low_precision_weights
         for mul, _ in self.sh_irreps:
             assert mul == 1, "sh multiplicities must be 1"
 
@@ -225,7 +238,8 @@ class FullyConnectedTensorProduct:
                 weight.shape[:-1] + (fin, mul_o)
             ) / math.sqrt(fin)
             wstart += n
-            out_blocks.append(_einsum("...uc,...uo->...oc", z, w))
+            ein = _einsum_fast if self.low_precision_weights else _einsum
+            out_blocks.append(ein("...uc,...uo->...oc", z, w))
         return _merge_blocks(out_blocks, self.out_irreps)
 
 
@@ -269,9 +283,10 @@ class FullTensorProduct:
         return jnp.concatenate(parts, axis=-1)
 
 
-def make_tensor_product(in_irreps, sh_irreps, out_irreps, faster: bool):
+def make_tensor_product(in_irreps, sh_irreps, out_irreps, faster: bool,
+                        low_precision_weights: bool = False):
     """Factory mirroring TensorProductConvLayer's choice
     (reference: models/score_model.py:95-98)."""
     if faster:
-        return FasterTensorProduct(in_irreps, sh_irreps, out_irreps)
-    return FullyConnectedTensorProduct(in_irreps, sh_irreps, out_irreps)
+        return FasterTensorProduct(in_irreps, sh_irreps, out_irreps, low_precision_weights)
+    return FullyConnectedTensorProduct(in_irreps, sh_irreps, out_irreps, low_precision_weights)

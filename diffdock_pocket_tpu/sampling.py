@@ -43,6 +43,13 @@ class SamplerConfig:
     temp_psi: tuple = (0.0, 0.0, 0.0, 0.0)
     temp_sigma_data: float = 0.5
     return_trajectory: bool = False
+    # SVGD particle interaction (reference sampling.py:197-243); the batch of
+    # samples interacts through an RBF kernel over rigid+torsional distances
+    svgd_weight: float = 0.0
+    svgd_repulsive_weight: float = 1.0
+    svgd_only: bool = False
+    svgd_rot_rel_weight: float = 1.0
+    svgd_tor_rel_weight: float = 1.0
 
 
 def make_schedules(sigma_schedule: str, inference_steps: int, inf_sched_alpha=1, inf_sched_beta=1):
@@ -119,6 +126,119 @@ def _sigma_data_point(temp_sigma_data, smax, smin):
     )
 
 
+# ---------------------------------------------------------------------------
+# SVGD particle interaction (reference utils/sampling.py:197-243 and
+# utils/torsion.py:96-160) — fully vectorized over the S x S sample pairs.
+# ---------------------------------------------------------------------------
+
+def dihedral_indices(g: ComplexGraph):
+    """[T, 4] (c, a, b, d) dihedral atoms per rotatable bond: c is a bond
+    neighbor of a (not b), d a neighbor of b (not a) — reference
+    get_dihedrals (torsion.py:96-114).  Computed from the shared topology
+    (sample 0)."""
+    bonds = g.lig_bond_index[0]  # [EB, 2]
+    bmask = g.lig_bond_mask[0]
+    tor = g.tor_bond_index[0]  # [T, 2]
+    a, b = tor[:, 0], tor[:, 1]
+
+    def first_neighbor(node, exclude):
+        # bonds are directed (both ways present): match src == node, dst != exclude
+        hit = bmask & (bonds[:, 0] == node) & (bonds[:, 1] != exclude)
+        idx = jnp.argmax(hit)  # first matching bond (0 if none; masked later)
+        return bonds[idx, 1]
+
+    c = jax.vmap(first_neighbor)(a, b)
+    d = jax.vmap(first_neighbor)(b, a)
+    return jnp.stack([c, a, b, d], axis=-1)
+
+
+def torsion_angles(pos: Array, dihedrals: Array) -> Array:
+    """Signed dihedral angles [S, T] from positions [S, N, 3] (reference
+    get_torsion_angles, torsion.py:121-141)."""
+    c, a, b, d = (dihedrals[:, i] for i in range(4))
+    pc, pa, pb, pd = (pos[:, idx] for idx in (c, a, b, d))
+    ab = pb - pa
+    denom = jnp.sum(ab * ab, axis=-1, keepdims=True).clip(1e-12)
+    c_proj = pa + jnp.sum((pc - pa) * ab, -1, keepdims=True) / denom * ab
+    d_proj = pa + jnp.sum((pd - pa) * ab, -1, keepdims=True) / denom * ab
+    d_shift = pd - d_proj + c_proj
+    u1 = d_shift - c_proj
+    u2 = pc - c_proj
+    cos = jnp.sum(u1 * u2, -1) / (
+        jnp.linalg.norm(u1, axis=-1) * jnp.linalg.norm(u2, axis=-1)
+    ).clip(1e-12)
+    ang = jnp.arccos(jnp.clip(cos, -1 + 1e-5, 1 - 1e-5))
+    sign = jnp.sign(jnp.sum(jnp.cross(u1, u2) * ab, -1))
+    return ang * sign
+
+
+def _svgd_terms(g: ComplexGraph, dihedrals, cfg: SamplerConfig):
+    """Pairwise kernel + difference tensors over the sample batch."""
+    S = g.lig_pos.shape[0]
+    w = g.lig_mask[0].astype(g.lig_pos.dtype)
+
+    # pairwise rigid transforms (Kabsch-independent: translation + rot vec)
+    def pair(i_pos, j_pos):
+        return geometry.kabsch_independent(i_pos, j_pos, weights=w)
+
+    tr_diff, rot_diff = jax.vmap(
+        lambda pi: jax.vmap(lambda pj: pair(pi, pj))(g.lig_pos)
+    )(g.lig_pos)  # [S, S, 3] each
+
+    tr_matrix = jnp.sum(tr_diff**2, -1)
+    rot_matrix = jnp.sum(rot_diff**2, -1)
+
+    T = g.tor_bond_index.shape[1]
+    if T > 0 and not cfg.no_torsion:
+        tau = torsion_angles(g.lig_pos, dihedrals)  # [S, T]
+        tau = jnp.where(g.tor_bond_mask, tau, 0.0)
+        tau_diff = tau[:, None, :] - tau[None, :, :]
+        tau_diff = jnp.mod(tau_diff + 3 * jnp.pi, 2 * jnp.pi) - jnp.pi
+        tor_matrix = jnp.sum(tau_diff**2, -1)
+    else:
+        tau_diff = jnp.zeros((S, S, T))
+        tor_matrix = jnp.zeros((S, S))
+
+    total = (
+        tr_matrix
+        + cfg.svgd_rot_rel_weight * rot_matrix
+        + cfg.svgd_tor_rel_weight * tor_matrix
+    )
+    med2 = jnp.median(total, axis=1, keepdims=True)
+    h = cfg.svgd_repulsive_weight * med2 / max(math.log(S), 1.0)
+    h = jnp.maximum(h, 1e-8)
+    k = jnp.exp(-total / h)
+    return k, h, tr_diff, rot_diff, tau_diff
+
+
+def _svgd_updates(g, dihedrals, scores, g_coefs, dts, cfg: SamplerConfig):
+    """SVGD attractive + repulsive perturbation components (reference
+    sampling.py:197-243)."""
+    tr_score, rot_score, tor_score = scores
+    g_tr, g_rot, g_tor = g_coefs
+    dt_tr, dt_rot, dt_tor = dts
+    S = g.lig_pos.shape[0]
+    k, h, tr_diff, rot_diff, tau_diff = _svgd_terms(g, dihedrals, cfg)
+
+    tr_rep = jnp.sum(2.0 / h[..., None] * tr_diff * k[..., None], axis=1)
+    tr_att = jnp.sum(k[..., None] * tr_score[None, :, :], axis=1)
+    tr_svgd = g_tr**2 * dt_tr * (tr_att + tr_rep) / S
+
+    rot_rep = jnp.sum(
+        2.0 / h[..., None] * cfg.svgd_rot_rel_weight * rot_diff * k[..., None], axis=1
+    )
+    rot_att = jnp.sum(k[..., None] * rot_score[None, :, :], axis=1)
+    rot_svgd = g_rot**2 * dt_rot * (rot_att + rot_rep) / S
+
+    tor_rep = jnp.sum(
+        2.0 / h[..., None] * cfg.svgd_tor_rel_weight * tau_diff * k[..., None], axis=1
+    )
+    tor_att = jnp.sum(k[..., None] * tor_score[None, :, :], axis=1)
+    tor_svgd = g_tor**2 * dt_tor * (tor_att + tor_rep) / S
+
+    return tr_svgd, rot_svgd, tor_svgd
+
+
 def reverse_diffusion(
     key: jax.Array,
     g: ComplexGraph,  # batched [S, ...] — already randomized
@@ -174,6 +294,22 @@ def reverse_diffusion(
         rot_p = _perturbation(rot_score, s_rot, g_rot, dt, z_rot, ts[1], tp[1], sd_rot, cfg.ode)
         tor_p = _perturbation(tor_score, s_tor, g_tor, dt, z_tor, ts[2], tp[2], sd_tor, cfg.ode)
         sc_p = _perturbation(sc_score, s_sc, g_sc, dt, z_sc, ts[3], tp[3], sd_sc, cfg.ode)
+
+        if cfg.svgd_weight > 0.0:
+            dihedrals = dihedral_indices(gr)
+            tr_sv, rot_sv, tor_sv = _svgd_updates(
+                gr, dihedrals,
+                (tr_score, rot_score, tor_score),
+                (g_tr, g_rot, g_tor), (dt, dt, dt), cfg,
+            )
+            if cfg.svgd_only:
+                tr_p = cfg.svgd_weight * tr_sv
+                rot_p = cfg.svgd_weight * rot_sv
+                tor_p = cfg.svgd_weight * tor_sv
+            else:
+                tr_p = tr_p + cfg.svgd_weight * tr_sv
+                rot_p = rot_p + cfg.svgd_weight * rot_sv
+                tor_p = tor_p + cfg.svgd_weight * tor_sv
 
         atom_pos = gr.atom_pos
         if cfg.flexible_sidechains and SC > 0:

@@ -1,0 +1,60 @@
+"""Parity tests for the fused Pallas TP kernel (interpret mode on CPU).
+
+The kernel must reproduce FasterTensorProduct(x, sh, (h@W2+b2)*ew) exactly
+(up to its bf16 weight matmul) for every ladder layer and for the final-conv
+irreps, including padded/masked edges.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffdock_pocket_tpu.ops import spherical
+from diffdock_pocket_tpu.ops.irreps import feature_ladder
+from diffdock_pocket_tpu.ops.pallas_tp import fused_tp_messages
+from diffdock_pocket_tpu.ops.tensor_product import FasterTensorProduct
+
+
+def _case(in_ir, out_ir, E=37, H=24, seed=0):
+    tp = FasterTensorProduct(in_ir, "1x0e+1x1o", out_ir)
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((E, H)).astype(np.float32)
+    from diffdock_pocket_tpu.ops.irreps import Irreps
+
+    x = rng.standard_normal((E, Irreps.parse(in_ir).dim)).astype(np.float32)
+    vec = rng.standard_normal((E, 3)).astype(np.float32)
+    sh = np.asarray(spherical.sh_ladder(1, jnp.asarray(vec)))
+    ew = rng.uniform(0.5, 1.0, E).astype(np.float32)
+    w2 = (rng.standard_normal((H, tp.weight_numel)) * 0.1).astype(np.float32)
+    b2 = (rng.standard_normal(tp.weight_numel) * 0.1).astype(np.float32)
+    ref = np.asarray(
+        tp(jnp.asarray(x), jnp.asarray(sh), jnp.asarray((h @ w2 + b2) * ew[:, None]))
+    )
+    got = np.asarray(
+        fused_tp_messages(
+            jnp.asarray(h), jnp.asarray(x), jnp.asarray(sh), jnp.asarray(ew),
+            jnp.asarray(w2), jnp.asarray(b2), in_ir, out_ir, interpret=True,
+        )
+    )
+    return ref, got
+
+
+@pytest.mark.parametrize("layer", [0, 1, 2, 3])
+def test_fused_matches_ladder_layers(layer):
+    ladder = feature_ladder(8, 3, False)
+    ref, got = _case(str(ladder[layer]), str(ladder[min(layer + 1, 3)]), seed=layer)
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)  # bf16 matmul
+
+
+def test_fused_matches_final_conv_irreps():
+    ladder = feature_ladder(8, 3, False)
+    ref, got = _case(str(ladder[3]), "2x1o + 2x1e", seed=9)
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_fused_handles_edge_padding():
+    """E not a multiple of the tile: padded rows must not corrupt output."""
+    ladder = feature_ladder(6, 2, False)
+    ref, got = _case(str(ladder[3]), str(ladder[3]), E=130, seed=3)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)

@@ -19,6 +19,7 @@ TINY = ModelConfig(
     distance_embed_dim=8, cross_distance_embed_dim=8, dynamic_max_cross=True,
     all_atoms=True, flexible_sidechains=True, atom_max_neighbors=4,
     lig_max_neighbors=6, cross_lig_atom_max_neighbors=6,
+    low_precision_weights=False,
 )
 
 
