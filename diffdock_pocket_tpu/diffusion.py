@@ -184,7 +184,9 @@ def modify_conformer(
     rot_mat = geometry.axis_angle_to_matrix(rot_update)
     rigid_new_pos = geometry.pmm(pos - center, rot_mat.T) + tr_update + center
 
-    if not with_torsion:
+    if not with_torsion or bond_index.shape[0] == 0:
+        # static early-exit: no torsion bonds -> no Kabsch (whose SVD grad is
+        # NaN for the degenerate identical-point-set case)
         return rigid_new_pos
 
     flexible_new_pos = apply_torsion_updates(
