@@ -247,3 +247,58 @@ def bucketed_batches(
             while len(batch) < batch_size:
                 batch.append(batch[len(batch) % n_real])
             yield batch
+
+
+def print_statistics(complexes) -> dict:
+    """Dataset statistics after preprocessing (reference
+    datasets/pdbbind.py:792-895 print_statistics): protein/ligand radii,
+    pocket-center distances, conformer-matching RMSDs, steric-clash families.
+    Returns the stats dict (and logs a summary)."""
+    from .. import evaluation as ev
+
+    stats = {
+        "radius_protein": [], "radius_molecule": [], "distance_protein_mol": [],
+        "rmsd_matching": [], "rec_lig_steric_clashes": [],
+        "rec_sc_rec_rest_steric_clashes": [], "rec_sc_rec_sc_steric_clashes": [],
+        "match_rmsd": [],
+    }
+    for c in complexes:
+        raw = c.raw
+        rec = raw["rec_pos"]
+        lig = raw["lig_pos"]
+        stats["radius_protein"].append(float(np.linalg.norm(rec, axis=1).max()))
+        mol_center = lig.mean(0)
+        stats["radius_molecule"].append(
+            float(np.linalg.norm(lig - mol_center, axis=1).max())
+        )
+        stats["distance_protein_mol"].append(float(np.linalg.norm(mol_center)))
+        stats["rmsd_matching"].append(float(c.rmsd_matching))
+        if c.match_rmsd is not None:
+            stats["match_rmsd"].append(float(c.match_rmsd))
+        elements = ev.elements_from_atom_feat(raw["atom_feat"])
+        stats["rec_lig_steric_clashes"].append(
+            ev.rec_lig_clashes(raw["atom_pos"], elements, lig, list(c.ligand.symbols))
+        )
+        if raw["sc_bond_index"].size:
+            stats["rec_sc_rec_rest_steric_clashes"].append(
+                ev.sidechain_clashes(raw["atom_pos"], elements,
+                                     raw["sc_rotate_mask"], raw["sc_res_index"], True)
+            )
+            stats["rec_sc_rec_sc_steric_clashes"].append(
+                ev.sidechain_clashes(raw["atom_pos"], elements,
+                                     raw["sc_rotate_mask"], raw["sc_res_index"], False)
+            )
+    out = {}
+    for k, v in stats.items():
+        if not v:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        out[k] = {
+            "mean": float(a.mean()), "std": float(a.std()),
+            "min": float(a.min()), "max": float(a.max()),
+        }
+        line = f"{k}: mean {a.mean():.3f} std {a.std():.3f} min {a.min():.3f} max {a.max():.3f}"
+        if "steric" in k:
+            line += f" pct>0 {100.0 * (a > 0).mean():.1f}%"
+        logger.info(line)
+    return out

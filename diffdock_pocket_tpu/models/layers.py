@@ -171,7 +171,11 @@ class TPConv(nn.Module):
         )
         b2 = self.param("fc2_bias", nn.initializers.zeros, (tp.weight_numel,))
 
-        use_fused = self.fused and self.faster and backend_is_tpu()
+        # fused kernel: inference only for now (pallas_call has no autodiff
+        # rule; training takes the XLA path until a custom VJP kernel lands)
+        use_fused = (
+            self.fused and self.faster and deterministic and backend_is_tpu()
+        )
         if use_fused:
             lead = h.shape[:-1]
             if isinstance(edge_weight, float):

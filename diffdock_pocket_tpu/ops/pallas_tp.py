@@ -119,7 +119,11 @@ def _kernel_body(tp: FasterTensorProduct, plan, h_ref, x_ref, sh_ref, ew_ref,
         fin, fout, fout_pad, roff = plan[key]
         n = fin * fout_pad
         wt = jnp.dot(
-            w2t_ref[roff : roff + n, :], h, preferred_element_type=jnp.float32
+            w2t_ref[roff : roff + n, :], h,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,  # pin: ambient HIGHEST
+            # contexts would ask Mosaic for fp32-emulated bf16 dots ("Bad
+            # lhs type"); this matmul is bf16 by design
         )  # [n, T]
         wt = (wt + b2_ref[roff : roff + n, :]) * ew
         return wt * (1.0 / math.sqrt(max(fin, 1)))
@@ -252,8 +256,6 @@ def fused_tp_messages(
 
 def backend_is_tpu() -> bool:
     try:
-        return jax.default_backend() == "tpu" or jax.devices()[0].platform.startswith(
-            ("tpu", "axon")
-        )
+        return jax.devices()[0].platform == "tpu"
     except Exception:
         return False

@@ -28,3 +28,19 @@ def setup(platform: str | None = None, cache_dir: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     _DONE = True
+
+
+def profile(trace_dir: str | None = None):
+    """First-class tracing/profiling hook (the reference has none —
+    SURVEY.md §5): context manager wrapping jax.profiler.trace.  Enable
+    globally with DDP_TPU_PROFILE=<dir> or use as
+    ``with runtime.profile("/tmp/trace"): ...``; view with xprof/tensorboard.
+    """
+    import contextlib
+
+    trace_dir = trace_dir or os.environ.get("DDP_TPU_PROFILE")
+    if not trace_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    return jax.profiler.trace(trace_dir)

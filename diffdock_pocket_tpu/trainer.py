@@ -117,6 +117,16 @@ class Trainer:
             mode=args.main_metric_goal, patience=args.scheduler_patience
         )
         self.best = {}
+        self.wandb = None
+        if getattr(args, "wandb", False):
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project="diffdock_pocket_tpu", name=args.run_name,
+                           config=vars(args))
+            except ImportError:
+                logger.warning("wandb requested but not installed; skipping")
 
     # ------------------------------------------------------------------
     def _batches(self, dataset, rng=None):
@@ -194,6 +204,8 @@ class Trainer:
                 "epoch %d (%.1fs): %s", epoch, time.time() - t0,
                 {k: round(v, 4) for k, v in metrics.items() if isinstance(v, float)},
             )
+            if self.wandb is not None:
+                self.wandb.log(metrics, step=epoch)
 
             self._checkpoint(state, metrics, epoch)
 

@@ -6,9 +6,9 @@ multi-chip sharding paths can be validated without hardware.
 """
 import os
 
-# The environment pre-sets JAX_PLATFORMS=axon (the real TPU tunnel); tests
-# must force CPU, so use assignment, not setdefault.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The environment pre-sets JAX_PLATFORMS=axon (the real TPU tunnel) AND
+# pre-imports jax at interpreter startup, so env-var overrides are too late.
+# jax.config.update works as long as no backend has been initialized yet.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # XLA compiles are pathologically slow in this environment (~10s for trivial
