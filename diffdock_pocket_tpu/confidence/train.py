@@ -79,13 +79,13 @@ def make_confidence_eval_step(model, loss_type: str = "bce"):
 
 def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     """Rank-based ROC-AUC (Mann-Whitney U)."""
+    from scipy.stats import rankdata
+
     pos = scores[labels > 0.5]
     neg = scores[labels <= 0.5]
     if len(pos) == 0 or len(neg) == 0:
         return 0.5
-    order = np.argsort(np.concatenate([pos, neg]))
-    ranks = np.empty(len(order))
-    ranks[order] = np.arange(1, len(order) + 1)
+    ranks = rankdata(np.concatenate([pos, neg]))  # average ranks for ties
     r_pos = ranks[: len(pos)].sum()
     u = r_pos - len(pos) * (len(pos) + 1) / 2
     return float(u / (len(pos) * len(neg)))

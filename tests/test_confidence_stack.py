@@ -1,0 +1,122 @@
+"""Integration test of the confidence (filtering) stack on synthetic data:
+pose generation with a frozen tiny score model -> cache combination ->
+FilteringDataset labeling -> one confidence-training epoch."""
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from diffdock_pocket_tpu import graph as graphlib, pipeline, sampling
+from diffdock_pocket_tpu.confidence.dataset import (
+    FilteringDataset, PoseSample, combine_pose_caches, generate_poses,
+)
+from diffdock_pocket_tpu.confidence.train import ConfidenceTrainer, roc_auc
+from diffdock_pocket_tpu.models.config import ModelConfig
+
+from synthetic import make_raw_complex, SMALL_BUCKETS
+
+TINY = ModelConfig(
+    ns=6, nv=2, num_conv_layers=2, sh_lmax=1, sigma_embed_dim=8,
+    distance_embed_dim=8, cross_distance_embed_dim=8, dynamic_max_cross=True,
+    all_atoms=True, flexible_sidechains=True, atom_max_neighbors=4,
+    lig_max_neighbors=6, cross_lig_atom_max_neighbors=6,
+    low_precision_weights=False,
+)
+
+
+class FakeDataset:
+    """DockingDataset-compatible wrapper over synthetic complexes."""
+
+    def __init__(self, n=3):
+        from diffdock_pocket_tpu.data.featurize import ComplexData
+        from diffdock_pocket_tpu.data.mol import Bond, Molecule
+
+        self.items = []
+        names = []
+        for i in range(n):
+            raw = make_raw_complex(seed=i)
+            mol = Molecule(
+                ["C"] * len(raw["lig_pos"]), raw["lig_pos"],
+                [Bond(a, b, 1) for a, b in raw["lig_bond_index"][::2]],
+            )
+            self.items.append(
+                ComplexData(
+                    raw=raw, name=f"cplx{i}", ligand=mol, receptor_arrays=None,
+                    flex_residue_ids=[], pocket_center=np.zeros(3),
+                )
+            )
+            names.append(f"cplx{i}")
+        self.df = pd.DataFrame({"complex_name": names})
+
+    def __len__(self):
+        return len(self.items)
+
+    def get(self, i):
+        return self.items[i]
+
+
+@pytest.fixture(scope="module")
+def pose_caches(tmp_path_factory):
+    ds = FakeDataset(3)
+    g_ex = graphlib.replicate(graphlib.from_raw(ds.items[0].raw, SMALL_BUCKETS), 2)
+    variables = pipeline.init_random_variables(TINY, g_ex)
+    pipe = pipeline.DockingPipeline(
+        model_cfg=TINY, variables=variables,
+        sampler_cfg=sampling.SamplerConfig(inference_steps=2),
+        samples_per_complex=2, batch_size=2, buckets=SMALL_BUCKETS,
+    )
+    out = str(tmp_path_factory.mktemp("poses"))
+    p1 = generate_poses(pipe, ds, out, cache_creation_id=1, seed=0)
+    p2 = generate_poses(pipe, ds, out, cache_creation_id=2, seed=1)
+    return ds, [p1, p2]
+
+
+def test_pose_generation_and_combination(pose_caches):
+    ds, paths = pose_caches
+    merged = combine_pose_caches(paths)
+    assert len(merged) == 3
+    for name, sample in merged.items():
+        assert sample.lig_pos.shape[0] == 4  # 2 rounds x 2 samples
+        assert sample.rmsds.shape == (4,)
+        assert np.all(np.isfinite(sample.rmsds))
+        assert sample.sc_rmsds is not None
+
+
+def test_filtering_dataset_labels(pose_caches):
+    ds, paths = pose_caches
+    merged = combine_pose_caches(paths)
+    fd = FilteringDataset(ds, merged, rmsd_classification_cutoff=2.0)
+    assert len(fd) == 3
+    rng = np.random.default_rng(0)
+    ex = fd.get(0, rng)
+    assert ex is not None
+    data, y = ex
+    assert y in (0.0, 1.0)
+    # the pose positions were written into the graph
+    assert data.raw["lig_pos"].shape == ds.items[0].raw["lig_pos"].shape
+
+
+def test_confidence_training_epoch(pose_caches, tmp_path):
+    ds, paths = pose_caches
+    merged = combine_pose_caches(paths)
+    fd = FilteringDataset(ds, merged)
+    cfg = dataclasses.replace(TINY, confidence_mode=True)
+    trainer = ConfidenceTrainer(
+        cfg, fd, fd, run_dir=str(tmp_path / "conf"), batch_size=2,
+    )
+    # patch buckets for synthetic sizes
+    import diffdock_pocket_tpu.data.dataset as dsmod
+
+    params, batch_stats = trainer.fit(n_epochs=1)
+    assert params is not None
+    assert os.path.exists(str(tmp_path / "conf" / "model_parameters.yml"))
+
+
+def test_roc_auc():
+    labels = np.asarray([1, 1, 0, 0])
+    assert roc_auc(labels, np.asarray([0.9, 0.8, 0.2, 0.1])) == 1.0
+    assert roc_auc(labels, np.asarray([0.1, 0.2, 0.8, 0.9])) == 0.0
+    assert abs(roc_auc(labels, np.asarray([0.5, 0.5, 0.5, 0.5])) - 0.5) < 1e-9
