@@ -171,11 +171,9 @@ class TPConv(nn.Module):
         )
         b2 = self.param("fc2_bias", nn.initializers.zeros, (tp.weight_numel,))
 
-        # fused kernel: inference only for now (pallas_call has no autodiff
-        # rule; training takes the XLA path until a custom VJP kernel lands)
-        use_fused = (
-            self.fused and self.faster and deterministic and backend_is_tpu()
-        )
+        # fused kernel (custom VJP: forward and backward are both Pallas
+        # kernels — ops/pallas_tp.py, ops/pallas_tp_bwd.py)
+        use_fused = self.fused and self.faster and backend_is_tpu()
         if use_fused:
             lead = h.shape[:-1]
             if isinstance(edge_weight, float):
@@ -190,6 +188,7 @@ class TPConv(nn.Module):
                 w2, b2,
                 str(_Irreps.parse(self.in_irreps)),
                 str(_Irreps.parse(self.out_irreps)),
+                False,
             )
             return msgs.reshape(lead + (msgs.shape[-1],))
 

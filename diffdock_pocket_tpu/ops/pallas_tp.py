@@ -191,10 +191,7 @@ def _kernel_body(tp: FasterTensorProduct, plan, h_ref, x_ref, sh_ref, ew_ref,
     out_ref[:] = jnp.concatenate(out_rows, axis=0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("in_irreps", "out_irreps", "interpret")
-)
-def fused_tp_messages(
+def _forward_impl(
     h,  # [E, H] edge-MLP hidden activations (post-ReLU)
     x_dst,  # [E, din] gathered destination features
     sh,  # [E, 4] lmax=1 spherical harmonics
@@ -259,3 +256,76 @@ def backend_is_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: forward + backward both as Pallas kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_tp_messages(h, x_dst, sh, edge_weight, w2, b2,
+                      in_irreps: str, out_irreps: str, interpret: bool = False):
+    """Differentiable fused TP conv (see _forward_impl for layout docs)."""
+    return _forward_impl(h, x_dst, sh, edge_weight, w2, b2,
+                         in_irreps, out_irreps, interpret)
+
+
+def _fused_fwd(h, x_dst, sh, edge_weight, w2, b2, in_irreps, out_irreps, interpret):
+    out = _forward_impl(h, x_dst, sh, edge_weight, w2, b2,
+                        in_irreps, out_irreps, interpret)
+    return out, (h, x_dst, sh, edge_weight, w2, b2)
+
+
+def _unrelayout_w2(dw2t, db2t, tp):
+    """Inverse of _relayout_w2: padded transposed grads -> [H, numel], [numel]."""
+    plan, _ = _plan(tp)
+    H = dw2t.shape[1]
+    cols = []
+    bcols = []
+    for key in tp._KEYS:
+        fin, fout, fout_pad, off = plan[key]
+        if fin * fout == 0:
+            continue
+        blk = dw2t[off : off + fin * fout_pad].reshape(fin, fout_pad, H)
+        cols.append(blk[:, :fout, :].reshape(fin * fout, H).T)
+        bb = db2t[off : off + fin * fout_pad, 0].reshape(fin, fout_pad)
+        bcols.append(bb[:, :fout].reshape(fin * fout))
+    return jnp.concatenate(cols, axis=1), jnp.concatenate(bcols)
+
+
+def _fused_bwd(in_irreps, out_irreps, interpret, res, g):
+    from .pallas_tp_bwd import run_bwd
+
+    h, x_dst, sh, edge_weight, w2, b2 = res
+    tp = FasterTensorProduct(in_irreps, "1x0e+1x1o", out_irreps)
+    E, H = h.shape
+    E_pad = _ceil_to(max(E, TILE), TILE)
+    gt = g
+    if E_pad != E:
+        pad = [(0, E_pad - E)]
+        h_p = jnp.pad(h, pad + [(0, 0)])
+        x_p = jnp.pad(x_dst, pad + [(0, 0)])
+        sh_p = jnp.pad(sh, pad + [(0, 0)])
+        ew_p = jnp.pad(edge_weight, pad)
+        gt = jnp.pad(g, pad + [(0, 0)])
+    else:
+        h_p, x_p, sh_p, ew_p = h, x_dst, sh, edge_weight
+
+    plan, rows_pad = _plan(tp)
+    w2t, b2p = _relayout_w2(w2.astype(jnp.bfloat16), b2.astype(jnp.float32), tp)
+
+    dh_t, dx_t, dw2t, db2t = run_bwd(
+        tp, plan, rows_pad,
+        h_p.astype(jnp.bfloat16).T, x_p.T, sh_p.T,
+        ew_p[None, :].astype(jnp.float32), w2t, b2p[:, None],
+        gt.T.astype(jnp.float32), interpret=interpret,
+    )
+    dh = dh_t.T[:E]
+    dx = dx_t.T[:E]
+    dw2, db2 = _unrelayout_w2(dw2t, db2t, tp)
+    dsh = jnp.zeros_like(sh)
+    dew = jnp.zeros_like(edge_weight)
+    return dh, dx, dsh, dew, dw2, db2
+
+
+fused_tp_messages.defvjp(_fused_fwd, _fused_bwd)
