@@ -19,6 +19,7 @@ tiny.  Equivariance of every consumer is covered by tests.
 """
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -68,7 +69,77 @@ def _sh_np64(l: int, u: np.ndarray) -> np.ndarray:
             ],
             axis=-1,
         )
-    raise NotImplementedError(f"l={l}")
+    # l >= 4: generic numeric harmonic-polynomial basis (see _poly_basis)
+    coeffs, monos = _poly_basis(l)
+    vals = np.stack([u[..., 0] ** a * u[..., 1] ** b * u[..., 2] ** c
+                     for a, b, c in monos], axis=-1)
+    return vals @ coeffs.T
+
+
+@lru_cache(maxsize=None)
+def _poly_basis(l: int):
+    """An orthonormal (component-normalized) real degree-l harmonic
+    polynomial basis, derived numerically:
+
+    - monomials x^a y^b z^c with a+b+c = l;
+    - harmonic condition: null space of the Laplacian (exact integer matrix);
+    - orthonormalized with the *exact* sphere-average monomial integrals
+      <x^a y^b z^c> = (a-1)!! (b-1)!! (c-1)!! / (a+b+c+1)!! (even exponents),
+      then scaled by sqrt(2l+1) for component normalization.
+
+    Only used for l >= 4 (the dead-but-present high-l blocks of unweighted
+    sh (x) 2e products in the sh_lmax=2 configuration); l <= 3 uses the fixed
+    closed forms so the evaluation basis matches ops/spherical.py exactly.
+    Returns (coeffs [2l+1, n_monomials], monomials [(a, b, c), ...]).
+    """
+    monos = [
+        (a, b, l - a - b) for a in range(l + 1) for b in range(l - a + 1)
+    ]
+    n = len(monos)
+    idx = {m: i for i, m in enumerate(monos)}
+    # Laplacian: x^a y^b z^c -> a(a-1) x^(a-2).. + ...
+    lower = [
+        (a, b, l - 2 - a - b) for a in range(l - 1) for b in range(l - 1 - a + 1)
+    ]
+    lap = np.zeros((len(lower), n))
+    lidx = {m: i for i, m in enumerate(lower)}
+    for (a, b, c), j in idx.items():
+        if a >= 2:
+            lap[lidx[(a - 2, b, c)], j] += a * (a - 1)
+        if b >= 2:
+            lap[lidx[(a, b - 2, c)], j] += b * (b - 1)
+        if c >= 2:
+            lap[lidx[(a, b, c - 2)], j] += c * (c - 1)
+    _, s, vt = np.linalg.svd(lap)
+    null_dim = n - np.sum(s > 1e-9)
+    assert null_dim == 2 * l + 1, (l, null_dim)
+    basis = vt[int(np.sum(s > 1e-9)):]
+
+    def dfact(k):
+        out = 1
+        while k > 1:
+            out *= k
+            k -= 2
+        return out
+
+    def sphere_avg(m1, m2):
+        a = m1[0] + m2[0]
+        b = m1[1] + m2[1]
+        c = m1[2] + m2[2]
+        if a % 2 or b % 2 or c % 2:
+            return 0.0
+        return dfact(a - 1) * dfact(b - 1) * dfact(c - 1) / dfact(a + b + c + 1)
+
+    gram_mono = np.asarray(
+        [[sphere_avg(m1, m2) for m2 in monos] for m1 in monos]
+    )
+    g = basis @ gram_mono @ basis.T
+    # orthonormalize: basis' = L^-1 basis with g = L L^T
+    L = np.linalg.cholesky(g)
+    ortho = np.linalg.solve(L, basis)
+    # orthonormal under the sphere-average inner product => by the addition
+    # theorem sum_m Y_m^2 = 2l+1 pointwise (component normalization) already
+    return ortho, monos
 
 
 def _rot(axis: int, angle: float) -> np.ndarray:

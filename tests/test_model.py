@@ -147,3 +147,25 @@ def test_train_mode_updates_batch_stats(model_and_vars):
         for a, b in zip(leaves_before, leaves_after)
     )
     assert moved
+
+
+def test_second_order_sh_lmax2_forward():
+    """The lmax=2 second-order-representation configuration (reference
+    --use_second_order_repr) runs through the generic CG tensor products,
+    including the l=4 blocks of the torsion-head sh composition."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, ns=4, nv=2, num_conv_layers=2, sh_lmax=2, use_second_order_repr=True
+    )
+    g = graphlib.stack([make_graph(seed=3)])
+    from diffdock_pocket_tpu import pipeline
+    from diffdock_pocket_tpu.models.score_model import get_model
+
+    variables = pipeline.init_random_variables(cfg, g)
+    model = get_model(cfg)
+    t = _times(1)
+    sn = _score_norms(cfg, t)
+    out = jax.jit(model.apply)(variables, g, t, sn)
+    for x in out:
+        assert np.all(np.isfinite(np.asarray(x)))
