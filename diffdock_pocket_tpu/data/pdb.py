@@ -113,12 +113,21 @@ def _infer_element(name: str, resname: str) -> str:
 
 def parse_pdb(path_or_text: str, all_models: bool = False):
     """Parse a PDB file.  Returns a PDBModel (first model) or a list of
-    PDBModel when ``all_models`` and the file has MODEL records."""
+    PDBModel when ``all_models`` and the file has MODEL records.
+
+    Uses the native single-pass parser (native/fastpdb.cpp) for the common
+    first-model case when the shared library is available; the pure-Python
+    path below is the reference implementation and the fallback."""
     if "\n" in path_or_text:
-        lines = path_or_text.splitlines()
+        text = path_or_text
     else:
         with open(path_or_text) as fh:
-            lines = fh.read().splitlines()
+            text = fh.read()
+    if not all_models:
+        fast = _parse_pdb_native(text)
+        if fast is not None:
+            return fast
+    lines = text.splitlines()
 
     models: list[PDBModel] = []
     model = PDBModel()
@@ -204,6 +213,78 @@ def parse_pdb(path_or_text: str, all_models: bool = False):
     if not models:
         models = [PDBModel()]
     return models if all_models else models[0]
+
+
+def _parse_pdb_native(text: str):
+    """Build a PDBModel from the native parser's flat arrays; None if the
+    native tier is unavailable."""
+    from . import native
+
+    arrs = native.parse_pdb_arrays(text)
+    if arrs is None:
+        return None
+    n = arrs["n"]
+    if n == 0:
+        return None if ("ATOM" in text or "HETATM" in text) else PDBModel()
+
+    # vectorized string decoding (the per-atom Python loop would otherwise
+    # dominate and erase the native parser's 9x win)
+    names = np.char.decode(
+        np.char.rstrip(arrs["name"].copy().view("S4")[:, 0], b"\x00"), "ascii"
+    )
+    resnames = np.char.decode(
+        np.char.rstrip(arrs["resname"].copy().view("S3")[:, 0], b"\x00"), "ascii"
+    )
+    elements_raw = np.char.decode(
+        np.char.rstrip(arrs["element"].copy().view("S2")[:, 0], b"\x00"), "ascii"
+    )
+    chains_arr = arrs["chain"]
+    seqs = arrs["resseq"]
+    icodes = arrs["icode"]
+    hets = arrs["het"]
+    coords = arrs["coords"]
+    occs = arrs["occ"]
+    bfacs = arrs["bfac"]
+    serials = arrs["serial"]
+
+    # residue boundaries
+    brk = np.zeros(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = (
+        (chains_arr[1:] != chains_arr[:-1])
+        | (seqs[1:] != seqs[:-1])
+        | (icodes[1:] != icodes[:-1])
+        | (resnames[1:] != resnames[:-1])
+    )
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], n)
+
+    model = PDBModel()
+    chain_map: dict[str, PDBChain] = {}
+    for s0, e0 in zip(starts, ends):
+        resname = str(resnames[s0])
+        chain_id = chr(chains_arr[s0])
+        icode = chr(icodes[s0]) if icodes[s0] else ""
+        hetero0 = bool(hets[s0])
+        hetflag = "W" if resname == "HOH" else (f"H_{resname}" if hetero0 else "")
+        res = PDBResidue(resname, int(seqs[s0]), icode, chain_id, hetero_flag=hetflag)
+        atoms = res.atoms
+        for i in range(s0, e0):
+            el = str(elements_raw[i])
+            el = el.capitalize() if len(el) == 2 else el.upper()
+            if not el or el not in SYMBOL_TO_Z:
+                el = _infer_element(str(names[i]), resname)
+            atoms.append(
+                PDBAtom(
+                    str(names[i]), el, coords[i], int(serials[i]), "",
+                    float(occs[i]), float(bfacs[i]), bool(hets[i]),
+                )
+            )
+        if chain_id not in chain_map:
+            chain_map[chain_id] = PDBChain(chain_id)
+            model.chains.append(chain_map[chain_id])
+        chain_map[chain_id].residues.append(res)
+    return model
 
 
 def format_pdb_model(model: PDBModel, model_number: int | None = None) -> str:

@@ -198,7 +198,9 @@ def extract_receptor(
             coords.append(res.atom_coords())
         if coords:
             allc = np.concatenate(coords, axis=0)
-            d = np.linalg.norm(allc[:, None] - lig_pos[None], axis=-1).min()
+            from . import native
+
+            d = float(native.min_dist(allc, lig_pos).min())
         else:
             d = np.inf
         chain_res.append(picked)

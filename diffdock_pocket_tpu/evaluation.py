@@ -116,7 +116,13 @@ def rec_lig_clashes(
     atom_pos: np.ndarray, atom_elements: list[str],
     lig_pos: np.ndarray, lig_elements: list[str],
 ) -> int:
-    return int(steric_clash_pairs(atom_pos, atom_elements, lig_pos, lig_elements).sum())
+    from .data import native
+
+    ra = np.asarray([chem.vdw_radius(e) - CLASH_TOLERANCE for e in atom_elements],
+                    np.float32)
+    rb = np.asarray([chem.vdw_radius(e) - CLASH_TOLERANCE for e in lig_elements],
+                    np.float32)
+    return native.clash_count(atom_pos, ra, lig_pos, rb)
 
 
 def sidechain_clashes(
