@@ -40,6 +40,7 @@ class DataConfig:
     flexdist: float = 3.5
     flexdist_distance_metric: str = "prism"
     keep_local_structures: bool = True
+    include_miscellaneous_atoms: bool = False
     matching: bool = False  # torsional conformer matching (training)
     popsize: int = 15
     maxiter: int = 15
@@ -170,6 +171,17 @@ def build_complex(
     nbr_idx, nbr_mask = R.calpha_knn_lists(
         rec.ca_pos, cfg.receptor_radius, cfg.c_alpha_max_neighbors
     )
+
+    # CG + miscellaneous atoms: the het-group atoms occupy the atom node type
+    # (the all-atom wiring then serves as the misc-atom conv machinery —
+    # reference's CG include_miscellaneous_atoms variant,
+    # models/score_model.py:181-185)
+    if cfg.include_miscellaneous_atoms and not cfg.all_atoms:
+        m_pos, m_feat, m_res = R.extract_misc_atoms(rec_model, rec.ca_pos,
+                                                    remove_hs=cfg.remove_hs)
+        rec.atom_pos = m_pos
+        rec.atom_feat = m_feat
+        rec.atom_res_index = m_res
 
     # --- flexible side chains ---------------------------------------------
     if cfg.flexible_sidechains:

@@ -411,3 +411,32 @@ def sidechain_rotation_masks(
         np.asarray(res_ids, np.int32),
         flex_res,
     )
+
+
+def extract_misc_atoms(model: PDBModel, ca_pos: np.ndarray, remove_hs: bool = True,
+                       max_dist: float = 10.0):
+    """Miscellaneous atoms: atoms of residues lacking a complete backbone
+    (cofactors, ions, het groups; waters excluded upstream), kept when within
+    ``max_dist`` of any retained C-alpha (reference process_mols.py:404-414).
+    Returns (pos [NM,3], feat [NM,4], res_index [NM] = nearest residue)."""
+    pos, feats = [], []
+    for res in model.get_residues():
+        if res.is_water():
+            continue
+        if (res.get_atom("CA") is not None and res.get_atom("N") is not None
+                and res.get_atom("C") is not None):
+            continue
+        for a in res.atoms:
+            if remove_hs and a.element == "H":
+                continue
+            pos.append(a.coord)
+            feats.append(atom_feature(res, a))
+    if not pos:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 4), np.int32),
+                np.zeros((0,), np.int32))
+    pos = np.asarray(pos, np.float32)
+    feats = np.asarray(feats, np.int32)
+    d = np.linalg.norm(pos[:, None] - ca_pos[None, :], axis=-1)
+    keep = d.min(axis=1) < max_dist
+    res_index = d.argmin(axis=1).astype(np.int32)
+    return pos[keep], feats[keep], res_index[keep]

@@ -438,7 +438,14 @@ class AllAtomScoreModel(nn.Module):
                 pooled_atom = jnp.where(any_flex, pooled_atom, 0.0)
                 conf_in = jnp.concatenate([conf_in, pooled_atom], -1)
 
-            n_out = cfg.num_confidence_outputs + (1 if cfg.affinity_prediction else 0)
+            if cfg.parallel > 1:
+                # `parallel` pose replicas per complex: the leading batch is
+                # B * parallel; the filtering logit stays per-pose while the
+                # affinity head aggregates pose features per complex
+                # (reference all_atom_score_model.py:346-352)
+                n_out = 1 + ns if cfg.affinity_prediction else cfg.num_confidence_outputs
+            else:
+                n_out = cfg.num_confidence_outputs + (1 if cfg.affinity_prediction else 0)
             h = conf_in
             for i, f in enumerate([ns, ns]):
                 h = nn.Dense(f)(h)
@@ -447,6 +454,33 @@ class AllAtomScoreModel(nn.Module):
                 h = nn.relu(h)
                 h = nn.Dropout(cfg.confidence_dropout)(h, deterministic=det)
             confidence = nn.Dense(n_out)(h)
+
+            if cfg.parallel > 1 and cfg.affinity_prediction:
+                P = cfg.parallel
+                assert B % P == 0, "batch must be complexes x parallel"
+                filtering = confidence[:, 0].reshape(B // P, P)
+                feats = confidence[:, 1:].reshape(B // P, P, ns)
+                aggs = []
+                for agg in cfg.parallel_aggregators.split(" "):
+                    if agg == "mean":
+                        aggs.append(feats.mean(axis=1))
+                    elif agg == "max":
+                        aggs.append(feats.max(axis=1))
+                    elif agg == "min":
+                        aggs.append(feats.min(axis=1))
+                    elif agg == "std":
+                        aggs.append(feats.std(axis=1))
+                aff_in = jnp.concatenate(aggs, axis=-1)
+                ha = aff_in
+                for f in (ns, ns):
+                    ha = nn.Dense(f)(ha)
+                    if not cfg.confidence_no_batchnorm:
+                        ha = nn.BatchNorm(use_running_average=ura, momentum=0.9)(ha)
+                    ha = nn.relu(ha)
+                    ha = nn.Dropout(cfg.confidence_dropout)(ha, deterministic=det)
+                affinity = nn.Dense(1)(ha)[..., 0]
+                return filtering, affinity
+
             if n_out == 1:
                 confidence = confidence[..., 0]
             return confidence

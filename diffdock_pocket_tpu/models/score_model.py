@@ -374,9 +374,15 @@ class CGScoreModel(nn.Module):
 
 
 def get_model(cfg: ModelConfig):
-    """Model factory (reference utils/utils.py:59-113 get_model)."""
+    """Model factory (reference utils/utils.py:59-113 get_model).
+
+    include_miscellaneous_atoms without all_atoms routes to the all-atom
+    wiring with the het-group atoms occupying the atom node type (documented
+    equivalent of the reference's CG misc-atom conv family,
+    models/score_model.py:211-257); flexible side chains require real atoms.
+    """
     from .all_atom_score_model import AllAtomScoreModel
 
-    if cfg.all_atoms:
+    if cfg.all_atoms or cfg.include_miscellaneous_atoms:
         return AllAtomScoreModel(cfg)
     return CGScoreModel(cfg)

@@ -1,0 +1,77 @@
+"""Tests for the model variants: CG misc-atom routing, parallel confidence/
+affinity head, CG (non-all-atom) forward."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffdock_pocket_tpu import graph as graphlib, pipeline, tables
+from diffdock_pocket_tpu.models.config import ModelConfig
+from diffdock_pocket_tpu.models.score_model import CGScoreModel, get_model
+
+from synthetic import make_graph
+
+BASE = ModelConfig(
+    ns=6, nv=2, num_conv_layers=2, sh_lmax=1, sigma_embed_dim=8,
+    distance_embed_dim=8, cross_distance_embed_dim=8, dynamic_max_cross=True,
+    all_atoms=False, flexible_sidechains=False, atom_max_neighbors=4,
+    lig_max_neighbors=6, cross_lig_atom_max_neighbors=6,
+    low_precision_weights=False,
+)
+
+
+def _times(B, v=0.5):
+    t = jnp.full((B,), v)
+    return {k: t for k in ("tr", "rot", "tor", "sc_tor")}
+
+
+def _sn(cfg, t):
+    so3 = tables.so3_tables()
+    torus = tables.torus_tables()
+    _, sr, st, ss = cfg.sigma.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
+    return {"rot": so3.score_norm(sr), "tor": torus.score_norm(st),
+            "sc_tor": torus.score_norm(ss)}
+
+
+def test_cg_model_forward():
+    g = graphlib.stack([make_graph(seed=0), make_graph(seed=1)])
+    model = get_model(BASE)
+    assert isinstance(model, CGScoreModel)
+    t = _times(2)
+    v = pipeline.init_random_variables(BASE, g)
+    tr, rot, tor, sc = jax.jit(model.apply)(v, g, t, _sn(BASE, t))
+    assert tr.shape == (2, 3) and rot.shape == (2, 3)
+    assert np.all(np.isfinite(np.asarray(tr)))
+    # CG model has no side-chain head
+    np.testing.assert_allclose(np.asarray(sc), 0.0)
+
+
+def test_misc_atom_routing():
+    cfg = dataclasses.replace(BASE, include_miscellaneous_atoms=True)
+    from diffdock_pocket_tpu.models.all_atom_score_model import AllAtomScoreModel
+
+    model = get_model(cfg)
+    assert isinstance(model, AllAtomScoreModel)
+    g = graphlib.stack([make_graph(seed=2)])
+    t = _times(1)
+    v = pipeline.init_random_variables(cfg, g)
+    out = jax.jit(model.apply)(v, g, t, _sn(cfg, t))
+    assert all(np.all(np.isfinite(np.asarray(o))) for o in out)
+
+
+def test_parallel_confidence_affinity():
+    cfg = dataclasses.replace(
+        BASE, all_atoms=True, flexible_sidechains=True, confidence_mode=True,
+        affinity_prediction=True, parallel=2,
+    )
+    model = get_model(cfg)
+    B, P = 3, 2
+    g = graphlib.stack([make_graph(seed=i % 3) for i in range(B * P)])
+    t = _times(B * P, 0.0)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), g, t, None)
+    filtering, affinity = jax.jit(model.apply)(v, g, t, None)
+    assert filtering.shape == (B, P)
+    assert affinity.shape == (B,)
+    assert np.all(np.isfinite(np.asarray(filtering)))
+    assert np.all(np.isfinite(np.asarray(affinity)))
