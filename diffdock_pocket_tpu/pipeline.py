@@ -61,6 +61,8 @@ class DockingPipeline:
         inf_sched_alpha: float = 1,
         inf_sched_beta: float = 1,
         buckets: Optional[dict] = None,
+        schedule_steps: Optional[int] = None,  # full schedule length when
+        # running only the first inference_steps of it (--actual_steps)
     ):
         self.model_cfg = model_cfg
         self.variables = variables
@@ -76,9 +78,14 @@ class DockingPipeline:
         )
         self._so3 = tables.so3_tables()
         self._torus = tables.torus_tables()
-        self.schedule = sampling.make_schedules(
-            sigma_schedule, sampler_cfg.inference_steps, inf_sched_alpha, inf_sched_beta
+        full = sampling.make_schedules(
+            sigma_schedule, schedule_steps or sampler_cfg.inference_steps,
+            inf_sched_alpha, inf_sched_beta,
         )
+        n = sampler_cfg.inference_steps
+        self.schedule = full[:n]
+        full_next = jnp.concatenate([full[1:], jnp.zeros((1,))])
+        self.schedule_next = full_next[:n]
         self._run_jit = jax.jit(self._run_batch)
         self._conf_jit = jax.jit(self._run_confidence) if self.confidence_model else None
 
@@ -106,7 +113,8 @@ class DockingPipeline:
             flexible_sidechains=self.sampler_cfg.flexible_sidechains,
         )
         return sampling.reverse_diffusion(
-            k2, g, score_fn, self.schedule, self.model_cfg.sigma, self.sampler_cfg
+            k2, g, score_fn, self.schedule, self.model_cfg.sigma,
+            self.sampler_cfg, self.schedule_next,
         )
 
     def _run_confidence(self, g, conf_variables):

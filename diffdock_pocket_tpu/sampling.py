@@ -246,12 +246,21 @@ def reverse_diffusion(
     schedule: Array,  # [steps] t values (shared by the four manifolds)
     sigma: SigmaConfig,
     cfg: SamplerConfig,
+    schedule_next: Optional[Array] = None,  # [steps] next-t values
 ):
     """Run the full reverse SDE under one jit.  Returns (final graph,
     trajectory) where trajectory is (lig_pos [steps, S, NL, 3],
-    atom_pos [steps, S, NA, 3]) if cfg.return_trajectory else None."""
+    atom_pos [steps, S, NA, 3]) if cfg.return_trajectory else None.
+
+    ``schedule_next`` supports the --actual_steps early-stop trick
+    (reference inference.py:81,457): a truncated schedule whose dt values
+    come from the full-length schedule rather than treating the truncation
+    point as the final step."""
     steps = cfg.inference_steps
-    t_next = jnp.concatenate([schedule[1:], jnp.zeros((1,))])
+    if schedule_next is None:
+        t_next = jnp.concatenate([schedule[1:], jnp.zeros((1,))])
+    else:
+        t_next = schedule_next
     dt_all = schedule - t_next  # final step: dt = t (reference sampling.py:96)
     is_last = jnp.arange(steps) == steps - 1
 

@@ -301,10 +301,18 @@ class Trainer:
             better = prev is None or (v > prev if goal == "max" else v < prev)
             if better:
                 self.best[name] = v
-                ckpt.save_checkpoint(os.path.join(self.run_dir, name), state.params)
+                # checkpoints are full variable trees (params + batch_stats),
+                # loadable directly by the inference CLI; EMA variants use the
+                # reference naming (best_ema_inference_epoch_model, ...)
+                ckpt.save_checkpoint(
+                    os.path.join(self.run_dir, name),
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                )
                 if self.args.use_ema:
+                    ema_name = name.replace("best_", "best_ema_")
                     ckpt.save_checkpoint(
-                        os.path.join(self.run_dir, f"{name}_ema"), state.ema.params
+                        os.path.join(self.run_dir, ema_name),
+                        {"params": state.ema.params, "batch_stats": state.batch_stats},
                     )
         ckpt.save_checkpoint(os.path.join(self.run_dir, "last_model"), state)
 

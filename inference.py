@@ -171,6 +171,7 @@ def main():
 
     steps = args.actual_steps or args.inference_steps
     pipe = pipeline.DockingPipeline(
+        schedule_steps=args.inference_steps,
         model_cfg=score_cfg,
         variables=score_vars,
         sampler_cfg=sampling.SamplerConfig(
