@@ -186,19 +186,8 @@ def build_complex(
     # --- flexible side chains ---------------------------------------------
     if cfg.flexible_sidechains:
         if predefined_flexible_sidechains:
-            allowed = set(predefined_flexible_sidechains)
-
-            res_keys = {}
-            for ri, res in enumerate(rec.residues):
-                res_keys[ri] = f"{res.chain_id}:{res.seq}"
-
-            def accept_by_name(coord):
-                return True  # selection done per residue below
-
-            # residue-level predefined selection: emulate via accept fn that
-            # checks residue identity through a closure set during iteration
             sc_idx, sc_mask, sc_res, flex_ids = _predefined_sidechains(
-                rec, allowed
+                rec, set(predefined_flexible_sidechains)
             )
         else:
             accept = R.make_flexdist_func(

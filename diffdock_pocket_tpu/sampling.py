@@ -21,7 +21,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import diffusion, geometry
 from .diffusion import SigmaConfig

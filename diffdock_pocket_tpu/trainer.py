@@ -130,9 +130,15 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _batches(self, dataset, rng=None):
-        complexes = dataset.preprocess_all()
+        # featurization is cached in memory across epochs (disk pickles back
+        # the first pass; reference re-reads per epoch via the loader workers)
+        cache = getattr(self, "_complex_cache", {})
+        key = id(dataset)
+        if key not in cache:
+            cache[key] = dataset.preprocess_all()
+            self._complex_cache = cache
         for batch in ds.bucketed_batches(
-            complexes, self.args.batch_size, shuffle_rng=rng
+            cache[key], self.args.batch_size, shuffle_rng=rng
         ):
             yield graphlib.stack([graphlib.from_raw(c.raw) for c in batch]), batch
 
