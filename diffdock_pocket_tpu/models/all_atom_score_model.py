@@ -266,6 +266,40 @@ class AllAtomScoreModel(nn.Module):
         def scal(x):
             return x[..., :ns]
 
+        from ..ops.pallas_tp import backend_is_tpu, fused_tp_messages_multi
+
+        batch_families = cfg.batch_conv_families and faster and backend_is_tpu()
+
+        def run_convs(specs, in_ir, out_ir):
+            """Run conv families [(module, x_dst, sh, attr, ew), ...].
+
+            On TPU all families of a layer share irreps and launch as ONE
+            fused Pallas kernel (fused_tp_messages_multi) — ~10x fewer
+            launches/DMA stalls per layer; elsewhere falls back to the
+            per-family TPConv paths (identical math)."""
+            if not batch_families:
+                return [c(x, s, a, w, deterministic=det) for c, x, s, a, w in specs]
+            parts, leads = [], []
+            for c, x, s, a, w in specs:
+                h, w2, b2 = c(x, s, a, w, deterministic=det, return_parts=True)
+                lead = h.shape[:-1]
+                leads.append(lead)
+                if isinstance(w, float):
+                    ew = jnp.full(lead, w, jnp.float32)
+                else:
+                    ew = jnp.broadcast_to(w, lead).astype(jnp.float32)
+                parts.append((
+                    h.reshape(-1, h.shape[-1]),
+                    x.reshape(-1, x.shape[-1]),
+                    s.reshape(-1, s.shape[-1]),
+                    ew.reshape(-1),
+                    w2, b2,
+                ))
+            outs = fused_tp_messages_multi(
+                tuple(parts), str(Irreps.parse(in_ir)), str(Irreps.parse(out_ir))
+            )
+            return [o.reshape(lead + (o.shape[-1],)) for o, lead in zip(outs, leads)]
+
         for l in range(cfg.num_conv_layers):
             in_ir = str(ladder[min(l, 3)])
             out_ir = str(ladder[min(l + 1, 3)])
@@ -286,31 +320,19 @@ class AllAtomScoreModel(nn.Module):
                 return lambda x, mask: mod(x, mask, use_running_average=ura)
 
             last = l == cfg.num_conv_layers - 1
+            do_atom = cfg.flexible_sidechains or not last
             conv_lig = conv("lig")
 
-            # ---- LIGAND update (lig intra + lr + la) ---------------------
-            # intra: bond edges
+            # ---- family inputs (gathers/concats; all read LAST layer's
+            #      features, so messages can be computed in one batch) ------
             xg_b = neighbors.gather_nodes(lig_x, bdst)
             attr_b = jnp.concatenate(
                 [bond_attr, scal(neighbors.gather_nodes(lig_x, bsrc)), scal(xg_b)], -1
             )
-            m_b = conv_lig(xg_b, bond_sh, attr_b, bond_w, deterministic=det)
-            sum_b = aggregate.scatter_sum_batched(m_b, bsrc, g.lig_bond_mask, NL)
-            cnt_b = aggregate.scatter_sum_batched(
-                jnp.ones(bsrc.shape + (1,)), bsrc, g.lig_bond_mask, NL
-            )[..., 0]
-            # intra: radius K-list (same conv params — shared module)
             xg_r = neighbors.gather_nodes(lig_x, lnbr_idx)
             attr_r = jnp.concatenate(
                 [lnbr_attr, jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KL, ns)), scal(xg_r)], -1
             )
-            m_r = conv_lig(xg_r, lnbr_sh, attr_r, lnbr_w, deterministic=det)
-            sum_r = aggregate.masked_sum(m_r, lnbr_ok, axis=2)
-            cnt_r = jnp.sum(lnbr_ok, axis=2)
-            lig_update = (sum_b + sum_r) / jnp.maximum(cnt_b + cnt_r, 1.0)[..., None]
-            lig_update = bn("lig")(lig_update, g.lig_mask)
-
-            # cross: rec -> lig over the dense pair block
             attr_lr = jnp.concatenate(
                 [
                     lr_attr,
@@ -319,66 +341,38 @@ class AllAtomScoreModel(nn.Module):
                 ],
                 -1,
             )
-            m_lr = conv("lr")(
-                jnp.broadcast_to(rec_x[:, None, :, :], (B, NL, NR, rec_x.shape[-1])),
-                lr_sh, attr_lr, lr_w, deterministic=det,
-            )
-            lr_update = aggregate.masked_mean(m_lr, lr_ok, axis=2)
-            lr_update = bn("lr")(lr_update, g.lig_mask)
-
-            # cross: atom -> lig over the K-list
+            x_lr = jnp.broadcast_to(rec_x[:, None, :, :], (B, NL, NR, rec_x.shape[-1]))
             xg_la = neighbors.gather_nodes(atom_x, la_idx)
             attr_la = jnp.concatenate(
                 [la_attr, jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KLA, ns)), scal(xg_la)], -1
             )
-            m_la = conv("la")(xg_la, la_sh, attr_la, la_w, deterministic=det)
-            la_update = aggregate.masked_mean(m_la, la_ok, axis=2)
-            la_update = bn("la")(la_update, g.lig_mask)
-
-            if cfg.flexible_sidechains or not last:
-                # ---- ATOM update (atom intra + al + ar) ------------------
+            specs = [
+                (conv_lig, xg_b, bond_sh, attr_b, bond_w),      # lig intra: bonds
+                (conv_lig, xg_r, lnbr_sh, attr_r, lnbr_w),      # lig intra: radius
+                (conv("lr"), x_lr, lr_sh, attr_lr, lr_w),       # rec -> lig
+                (conv("la"), xg_la, la_sh, attr_la, la_w),      # atom -> lig
+            ]
+            if do_atom:
                 xg_a = neighbors.gather_nodes(atom_x, anbr_idx)
                 attr_a = jnp.concatenate(
                     [anbr_attr, jnp.broadcast_to(scal(atom_x)[:, :, None, :], (B, NA, KA, ns)), scal(xg_a)], -1
                 )
-                m_a = conv("atom")(xg_a, anbr_sh, attr_a, anbr_w, deterministic=det)
-                atom_update = aggregate.masked_mean(m_a, anbr_ok, axis=2)
-                atom_update = bn("atom")(atom_update, g.atom_mask)
-
-                # lig -> atom: reversed la edges, scatter onto atoms
                 attr_al = jnp.concatenate(
                     [la_attr, scal(xg_la), jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KLA, ns))], -1
                 )
-                m_al = conv("al")(
-                    jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, KLA, lig_x.shape[-1])),
-                    la_sh, attr_al, la_w, deterministic=det,
-                )
-                al_update = aggregate.scatter_mean_batched(
-                    m_al.reshape(B, NL * KLA, -1),
-                    la_idx.reshape(B, NL * KLA),
-                    (la_ok & g.lig_mask[:, :, None]).reshape(B, NL * KLA),
-                    NA,
-                )
-                al_update = bn("al")(al_update, g.atom_mask)
-
-                # rec -> atom: one membership edge per atom
+                x_al = jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, KLA, lig_x.shape[-1]))
                 xg_ar = neighbors.gather_nodes(rec_x, g.atom_res_index)
                 attr_ar = jnp.concatenate([ar_attr, scal(atom_x), scal(xg_ar)], -1)
-                m_ar = conv("ar")(xg_ar, ar_sh, attr_ar, 1.0, deterministic=det)
-                ar_update = m_ar * g.atom_mask[..., None]
-                ar_update = bn("ar")(ar_update, g.atom_mask)
-
+                specs += [
+                    (conv("atom"), xg_a, anbr_sh, attr_a, anbr_w),  # atom intra
+                    (conv("al"), x_al, la_sh, attr_al, la_w),       # lig -> atom
+                    (conv("ar"), xg_ar, ar_sh, attr_ar, 1.0),       # rec -> atom
+                ]
                 if not last:
-                    # ---- RECEPTOR update (rec intra + rl + ra) -----------
                     xg_rr = neighbors.gather_nodes(rec_x, rnbr_idx)
                     attr_rr = jnp.concatenate(
                         [rnbr_attr, jnp.broadcast_to(scal(rec_x)[:, :, None, :], (B, NR, KR, ns)), scal(xg_rr)], -1
                     )
-                    m_rr = conv("rec")(xg_rr, rnbr_sh, attr_rr, rnbr_w, deterministic=det)
-                    rec_update = aggregate.masked_mean(m_rr, rnbr_ok, axis=2)
-                    rec_update = bn("rec")(rec_update, g.rec_mask)
-
-                    # lig -> rec: reversed dense pair block
                     attr_rl = jnp.concatenate(
                         [
                             lr_attr,
@@ -387,16 +381,59 @@ class AllAtomScoreModel(nn.Module):
                         ],
                         -1,
                     )
-                    m_rl = conv("rl")(
-                        jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, NR, lig_x.shape[-1])),
-                        lr_sh, attr_rl, lr_w, deterministic=det,
-                    )
+                    x_rl = jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, NR, lig_x.shape[-1]))
+                    attr_ra = jnp.concatenate([ar_attr, scal(xg_ar), scal(atom_x)], -1)
+                    specs += [
+                        (conv("rec"), xg_rr, rnbr_sh, attr_rr, rnbr_w),  # rec intra
+                        (conv("rl"), x_rl, lr_sh, attr_rl, lr_w),        # lig -> rec
+                        (conv("ra"), atom_x, ar_sh, attr_ra, 1.0),       # atom -> rec
+                    ]
+
+            msgs = run_convs(specs, in_ir, out_ir)
+            m_b, m_r, m_lr, m_la = msgs[:4]
+
+            # ---- LIGAND update (lig intra + lr + la) ---------------------
+            sum_b = aggregate.scatter_sum_batched(m_b, bsrc, g.lig_bond_mask, NL)
+            cnt_b = aggregate.scatter_sum_batched(
+                jnp.ones(bsrc.shape + (1,)), bsrc, g.lig_bond_mask, NL
+            )[..., 0]
+            sum_r = aggregate.masked_sum(m_r, lnbr_ok, axis=2)
+            cnt_r = jnp.sum(lnbr_ok, axis=2)
+            lig_update = (sum_b + sum_r) / jnp.maximum(cnt_b + cnt_r, 1.0)[..., None]
+            lig_update = bn("lig")(lig_update, g.lig_mask)
+
+            lr_update = aggregate.masked_mean(m_lr, lr_ok, axis=2)
+            lr_update = bn("lr")(lr_update, g.lig_mask)
+
+            la_update = aggregate.masked_mean(m_la, la_ok, axis=2)
+            la_update = bn("la")(la_update, g.lig_mask)
+
+            if do_atom:
+                # ---- ATOM update (atom intra + al + ar) ------------------
+                m_a, m_al, m_ar = msgs[4:7]
+                atom_update = aggregate.masked_mean(m_a, anbr_ok, axis=2)
+                atom_update = bn("atom")(atom_update, g.atom_mask)
+
+                al_update = aggregate.scatter_mean_batched(
+                    m_al.reshape(B, NL * KLA, -1),
+                    la_idx.reshape(B, NL * KLA),
+                    (la_ok & g.lig_mask[:, :, None]).reshape(B, NL * KLA),
+                    NA,
+                )
+                al_update = bn("al")(al_update, g.atom_mask)
+
+                ar_update = m_ar * g.atom_mask[..., None]
+                ar_update = bn("ar")(ar_update, g.atom_mask)
+
+                if not last:
+                    # ---- RECEPTOR update (rec intra + rl + ra) -----------
+                    m_rr, m_rl, m_ra = msgs[7:10]
+                    rec_update = aggregate.masked_mean(m_rr, rnbr_ok, axis=2)
+                    rec_update = bn("rec")(rec_update, g.rec_mask)
+
                     rl_update = aggregate.masked_mean(m_rl, lr_ok, axis=1)
                     rl_update = bn("rl")(rl_update, g.rec_mask)
 
-                    # atom -> rec: segment mean over residue membership
-                    attr_ra = jnp.concatenate([ar_attr, scal(xg_ar), scal(atom_x)], -1)
-                    m_ra = conv("ra")(atom_x, ar_sh, attr_ra, 1.0, deterministic=det)
                     ra_update = aggregate.scatter_mean_batched(
                         m_ra, g.atom_res_index, g.atom_mask, NR
                     )
@@ -566,36 +603,41 @@ class AllAtomScoreModel(nn.Module):
         (reference build_bond_conv_graph + tor_bond_conv,
         all_atom_score_model.py:390-434, 601-636).
 
-        Dense [B, T, N] bond-to-node neighborhoods within lig_max_radius.
+        Top-K bond-to-node neighbor lists within lig_max_radius.  The
+        reference's radius() calls here keep torch_cluster's default
+        max_num_neighbors=32, so K=bond_conv_max_neighbors=32 is faithful
+        (nearest-32 rather than first-32-found) and avoids a dense
+        [bonds, atoms] block — the all-atom side-chain head drops from
+        ~295k to ~8k edges at 3dpf/B=8 sizes (~18 ms -> ~1 ms).
         """
         cfg = self.cfg
         ns = cfg.ns
         B, N = pos.shape[:2]
         T = bond_index.shape[1]
+        K = min(N, cfg.bond_conv_max_neighbors)
 
         pu = neighbors.gather_nodes(pos, bond_index[..., 0])
         pv = neighbors.gather_nodes(pos, bond_index[..., 1])
         bond_pos = 0.5 * (pu + pv)  # [B, T, 3]
         bond_vec = pv - pu
 
-        vec = pos[:, None, :, :] - bond_pos[:, :, None, :]  # [B, T, N, 3]
+        idx, ok = neighbors.topk_neighbors(
+            bond_pos, bond_mask, pos, mask, K, cutoff=cfg.lig_max_radius
+        )  # [B, T, K]
+        vec = neighbors.gather_nodes(pos, idx) - bond_pos[:, :, None, :]
         d = jnp.linalg.norm(vec, axis=-1)
-        ok = (
-            bond_mask[:, :, None]
-            & mask[:, None, :]
-            & (d < cfg.lig_max_radius)
-        )
         raw = rbf(d)
         attr = MLP([ns, ns], dropout=cfg.dropout, name=f"{name}_edge_mlp")(
             raw, deterministic=det
         )
         bond_attr_full = neighbors.gather_nodes(node_x, bond_index[..., 0]) + \
             neighbors.gather_nodes(node_x, bond_index[..., 1])  # [B, T, dim]
+        xg = neighbors.gather_nodes(node_x, idx)  # [B, T, K, dim]
         attr = jnp.concatenate(
             [
                 attr,
-                jnp.broadcast_to(node_x[:, None, :, :ns], (B, T, N, ns)),
-                jnp.broadcast_to(bond_attr_full[:, :, None, :ns], (B, T, N, ns)),
+                xg[..., :ns],
+                jnp.broadcast_to(bond_attr_full[:, :, None, :ns], (B, T, K, ns)),
             ],
             -1,
         )
@@ -613,8 +655,7 @@ class AllAtomScoreModel(nn.Module):
             low_precision_weights=cfg.low_precision_weights,
             name=f"{name}_bond_conv",
         )(
-            jnp.broadcast_to(node_x[:, None, :, :], (B, T, N, node_x.shape[-1])),
-            edge_sh, attr, self._smooth_weight(d, cfg.lig_max_radius),
+            xg, edge_sh, attr, self._smooth_weight(d, cfg.lig_max_radius),
             deterministic=det,
         )
         agg = aggregate.masked_mean(m, ok, axis=2)  # [B, T, 2ns]

@@ -49,6 +49,18 @@ class ModelConfig:
     lig_max_neighbors: int = 24
     atom_max_neighbors: int = 8
     cross_lig_atom_max_neighbors: int = 32
+    # pseudotorque bond-conv neighborhood cap.  The reference's radius()
+    # calls for the bond conv graphs (all_atom_score_model.py:607,627) leave
+    # torch_cluster's max_num_neighbors at its default of 32, so a top-32
+    # nearest list within lig_max_radius is faithful — and ~12x cheaper than
+    # a dense [bonds, atoms] block at all-atom sizes.
+    bond_conv_max_neighbors: int = 32
+    # launch all conv families of a layer as ONE fused Pallas kernel
+    # (ops/pallas_tp.py::fused_tp_messages_multi).  Measured neutral at
+    # 3dpf/B=8 on the bench chip (the per-edge weight matmul dominates, so
+    # launch amortization buys nothing); kept as a deployment knob for
+    # small-batch regimes where launch overhead is a larger fraction.
+    batch_conv_families: bool = False
 
     # task structure
     all_atoms: bool = True

@@ -154,6 +154,7 @@ class TPConv(nn.Module):
         edge_weight: Array | float = 1.0,
         *,
         deterministic: bool = True,
+        return_parts: bool = False,
     ) -> Array:
         from ..ops.irreps import Irreps as _Irreps
         from ..ops.pallas_tp import backend_is_tpu, fused_tp_messages
@@ -170,6 +171,11 @@ class TPConv(nn.Module):
             "fc2_kernel", nn.initializers.lecun_normal(), (hidden, tp.weight_numel)
         )
         b2 = self.param("fc2_bias", nn.initializers.zeros, (tp.weight_numel,))
+
+        if return_parts:
+            # caller batches several same-irreps families into ONE fused
+            # kernel launch (ops/pallas_tp.py::fused_tp_messages_multi)
+            return h, w2, b2
 
         # fused kernel (custom VJP: forward and backward are both Pallas
         # kernels — ops/pallas_tp.py, ops/pallas_tp_bwd.py)

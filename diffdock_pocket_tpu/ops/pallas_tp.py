@@ -293,10 +293,9 @@ def _unrelayout_w2(dw2t, db2t, tp):
     return jnp.concatenate(cols, axis=1), jnp.concatenate(bcols)
 
 
-def _fused_bwd(in_irreps, out_irreps, interpret, res, g):
+def _bwd_one(h, x_dst, sh, edge_weight, w2, b2, g, in_irreps, out_irreps, interpret):
     from .pallas_tp_bwd import run_bwd
 
-    h, x_dst, sh, edge_weight, w2, b2 = res
     tp = FasterTensorProduct(in_irreps, "1x0e+1x1o", out_irreps)
     E, H = h.shape
     E_pad = _ceil_to(max(E, TILE), TILE)
@@ -328,4 +327,224 @@ def _fused_bwd(in_irreps, out_irreps, interpret, res, g):
     return dh, dx, dsh, dew, dw2, db2
 
 
+def _fused_bwd(in_irreps, out_irreps, interpret, res, g):
+    h, x_dst, sh, edge_weight, w2, b2 = res
+    return _bwd_one(h, x_dst, sh, edge_weight, w2, b2, g,
+                    in_irreps, out_irreps, interpret)
+
+
 fused_tp_messages.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# multi-family kernel: ONE pallas_call for all conv families of a layer
+# ---------------------------------------------------------------------------
+#
+# The all-atom model runs up to 10 conv-family applications per layer, all
+# sharing (in_irreps, sh_irreps, out_irreps, hidden width) but with separate
+# weights and edge sets.  Launching them as one kernel amortizes launch/DMA
+# stalls over ~10x more tiles: edges of every family are concatenated on the
+# lane axis (each family padded to a tile multiple), and a scalar-prefetch
+# map assigns a family id to every 128-edge tile; the W2 BlockSpec uses it
+# to stream the right family's weights.  The bias is folded into the weight
+# matmul (ones-row appended to h, bias column appended to W2t) which removes
+# the lane-padded [rows_pad, 1] bias buffer from VMEM — paying for the W2
+# double-buffering the family-varying BlockSpec introduces.
+
+def _kernel_body_multi(tp, plan, fam_ref, h_ref, x_ref, sh_ref, ew_ref,
+                       w2a_ref, out_ref):
+    """h [H+1, T] (last row = ones), w2a [1, rows_pad, H+1] (last col = bias),
+    everything else as in _kernel_body."""
+    del fam_ref  # only consumed by the BlockSpec index maps
+    im = tp.in_muls
+    n0e, n1o, n1e, n0o = im["0e"], im["1o"], im["1e"], im["0o"]
+
+    h = h_ref[:]  # [H+1, T] bf16 (ones row folded in)
+    ew = ew_ref[:]  # [1, T]
+    x = x_ref[:]  # [din, T] f32
+    s = sh_ref[0:1, :]
+    vx, vy, vz = sh_ref[1:2, :], sh_ref[2:3, :], sh_ref[3:4, :]
+    w2a = w2a_ref[0]  # [rows_pad, H+1]
+
+    off = 0
+    x0e = x[off : off + n0e]; off += n0e
+    x1o = [x[off + 3 * u : off + 3 * u + 3] for u in range(n1o)]; off += 3 * n1o
+    x1e = [x[off + 3 * u : off + 3 * u + 3] for u in range(n1e)]; off += 3 * n1e
+    x0o = x[off : off + n0o]
+
+    inv3 = 1.0 / math.sqrt(3.0)
+    inv2 = 1.0 / math.sqrt(2.0)
+
+    def dotv(u):
+        return u[0:1] * vx + u[1:2] * vy + u[2:3] * vz
+
+    def crossv(u):
+        return (
+            u[1:2] * vz - u[2:3] * vy,
+            u[2:3] * vx - u[0:1] * vz,
+            u[0:1] * vy - u[1:2] * vx,
+        )
+
+    def type_weights(key):
+        fin, fout, fout_pad, roff = plan[key]
+        n = fin * fout_pad
+        wt = jnp.dot(
+            w2a[roff : roff + n, :], h,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # [n, T]; bias already folded in via the ones row
+        return wt * ew * (1.0 / math.sqrt(max(fin, 1)))
+
+    out_rows = []
+
+    fin, fout, fout_pad, _ = plan["0e"]
+    if fout:
+        wt = type_weights("0e")
+        acc = jnp.zeros((fout_pad, h.shape[1]), jnp.float32)
+        ci = 0
+        for u in range(n0e):
+            acc += (x0e[u : u + 1] * s) * wt[ci * fout_pad : (ci + 1) * fout_pad]
+            ci += 1
+        for u in x1o:
+            acc += (dotv(u) * inv3) * wt[ci * fout_pad : (ci + 1) * fout_pad]
+            ci += 1
+        out_rows.append(acc[:fout])
+
+    def vector_type(key, chans):
+        fin, fout, fout_pad, _ = plan[key]
+        if not fout:
+            return
+        wt = type_weights(key)
+        accs = [jnp.zeros((fout_pad, h.shape[1]), jnp.float32) for _ in range(3)]
+        for ci, comps in enumerate(chans):
+            ws = wt[ci * fout_pad : (ci + 1) * fout_pad]
+            for c in range(3):
+                accs[c] += comps[c] * ws
+        rows = []
+        for m in range(fout):
+            rows += [accs[0][m : m + 1], accs[1][m : m + 1], accs[2][m : m + 1]]
+        out_rows.append(jnp.concatenate(rows, axis=0))
+
+    chans_1o = (
+        [(x0e[u : u + 1] * vx, x0e[u : u + 1] * vy, x0e[u : u + 1] * vz) for u in range(n0e)]
+        + [(u[0:1] * s, u[1:2] * s, u[2:3] * s) for u in x1o]
+        + [tuple(c * inv2 for c in crossv(u)) for u in x1e]
+    )
+    vector_type("1o", chans_1o)
+    chans_1e = (
+        [tuple(c * inv2 for c in crossv(u)) for u in x1o]
+        + [(u[0:1] * s, u[1:2] * s, u[2:3] * s) for u in x1e]
+        + [(x0o[u : u + 1] * vx, x0o[u : u + 1] * vy, x0o[u : u + 1] * vz) for u in range(n0o)]
+    )
+    vector_type("1e", chans_1e)
+
+    fin, fout, fout_pad, _ = plan["0o"]
+    if fout:
+        wt = type_weights("0o")
+        acc = jnp.zeros((fout_pad, h.shape[1]), jnp.float32)
+        ci = 0
+        for u in x1e:
+            acc += (dotv(u) * inv3) * wt[ci * fout_pad : (ci + 1) * fout_pad]
+            ci += 1
+        for u in range(n0o):
+            acc += (x0o[u : u + 1] * s) * wt[ci * fout_pad : (ci + 1) * fout_pad]
+            ci += 1
+        out_rows.append(acc[:fout])
+
+    out_ref[:] = jnp.concatenate(out_rows, axis=0)
+
+
+def _forward_multi_impl(parts, in_irreps: str, out_irreps: str,
+                        interpret: bool = False):
+    """parts: tuple of (h [Ef,H], x [Ef,din], sh [Ef,4], ew [Ef],
+    w2 [H,numel], b2 [numel]) per family.  Returns a tuple of per-family
+    message arrays [Ef, dout]."""
+    tp = FasterTensorProduct(in_irreps, "1x0e+1x1o", out_irreps)
+    keys = [str(ir) for _, ir in Irreps.parse(out_irreps)]
+    assert keys == [k for k in ("0e", "1o", "1e", "0o") if tp.out_muls[k]], (
+        "fused kernel requires type-ordered out irreps"
+    )
+    plan, rows_pad = _plan(tp)
+    H = parts[0][0].shape[-1]
+    din = parts[0][1].shape[-1]
+    dout = Irreps.parse(out_irreps).dim
+
+    hts, xts, shts, ewts, w2as, fam_ids, sizes = [], [], [], [], [], [], []
+    for f, (h, x_dst, sh, edge_weight, w2, b2) in enumerate(parts):
+        E = h.shape[0]
+        E_pad = _ceil_to(max(E, TILE), TILE)
+        sizes.append((E, E_pad))
+        if E_pad != E:
+            pad = [(0, E_pad - E)]
+            h = jnp.pad(h, pad + [(0, 0)])
+            x_dst = jnp.pad(x_dst, pad + [(0, 0)])
+            sh = jnp.pad(sh, pad + [(0, 0)])
+            edge_weight = jnp.pad(edge_weight, pad)
+        hts.append(h.astype(jnp.bfloat16).T)
+        xts.append(x_dst.T)
+        shts.append(sh.T)
+        ewts.append(edge_weight[None, :].astype(jnp.float32))
+        w2t, b2p = _relayout_w2(w2.astype(jnp.bfloat16), b2.astype(jnp.float32), tp)
+        w2as.append(jnp.concatenate([w2t, b2p[:, None].astype(jnp.bfloat16)], axis=1))
+        fam_ids += [f] * (E_pad // TILE)
+
+    ht = jnp.concatenate(hts, axis=1)  # [H, sumE]
+    ht = jnp.concatenate([ht, jnp.ones((1, ht.shape[1]), ht.dtype)], axis=0)
+    xt = jnp.concatenate(xts, axis=1)
+    sht = jnp.concatenate(shts, axis=1)
+    ewt = jnp.concatenate(ewts, axis=1)
+    w2a = jnp.stack(w2as)  # [F, rows_pad, H+1]
+    fam_map = jnp.asarray(fam_ids, jnp.int32)
+    n_tiles = len(fam_ids)
+
+    kernel = functools.partial(_kernel_body_multi, tp, plan)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((H + 1, TILE), lambda i, fam: (0, i)),
+            pl.BlockSpec((din, TILE), lambda i, fam: (0, i)),
+            pl.BlockSpec((4, TILE), lambda i, fam: (0, i)),
+            pl.BlockSpec((1, TILE), lambda i, fam: (0, i)),
+            pl.BlockSpec((1, rows_pad, H + 1), lambda i, fam: (fam[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((dout, TILE), lambda i, fam: (0, i)),
+    )
+    out_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((dout, n_tiles * TILE), jnp.float32),
+        interpret=interpret,
+    )(fam_map, ht, xt, sht, ewt, w2a)
+
+    outs = []
+    off = 0
+    for E, E_pad in sizes:
+        outs.append(out_t[:, off : off + E].T)
+        off += E_pad
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_tp_messages_multi(parts, in_irreps: str, out_irreps: str,
+                            interpret: bool = False):
+    """Differentiable multi-family fused TP conv (one kernel launch for all
+    families of a model layer).  Backward reuses the per-family backward
+    kernels — training cost is identical to per-family fused calls."""
+    return _forward_multi_impl(parts, in_irreps, out_irreps, interpret)
+
+
+def _multi_fwd(parts, in_irreps, out_irreps, interpret):
+    return _forward_multi_impl(parts, in_irreps, out_irreps, interpret), parts
+
+
+def _multi_bwd(in_irreps, out_irreps, interpret, parts, gs):
+    douts = []
+    for (h, x_dst, sh, ew, w2, b2), g in zip(parts, gs):
+        douts.append(
+            _bwd_one(h, x_dst, sh, ew, w2, b2, g, in_irreps, out_irreps, interpret)
+        )
+    return (tuple(douts),)
+
+
+fused_tp_messages_multi.defvjp(_multi_fwd, _multi_bwd)
