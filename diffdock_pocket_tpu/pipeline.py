@@ -166,6 +166,97 @@ class DockingPipeline:
         )
 
 
+    # ------------------------------------------------------------------
+    def dock_many(
+        self,
+        datas: list[ComplexData],
+        key: jax.Array,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> list[DockingResult]:
+        """Dock several complexes, batching SAMPLES ACROSS COMPLEXES.
+
+        The reference fans complexes out over processes/GPUs
+        (torch.multiprocessing); here every (complex, sample) pair is one
+        row of the device batch, so complexes that land in the same shape
+        bucket share compiled executables AND device batches — partial
+        chunks at the tail of one complex are filled with the next
+        complex's samples instead of padding.  With ``mesh`` (a 1-D 'dp'
+        mesh) the batch is sharded across devices and GSPMD runs the whole
+        reverse diffusion SPMD with zero collectives.
+
+        Trajectories are not collected in this path (use ``dock`` for
+        --save_visualisation).  Returns one DockingResult per input, in
+        order; failed featurizations must be filtered by the caller.
+        """
+        from collections import defaultdict
+
+        S = self.samples_per_complex
+        graphs = [graphlib.from_raw(d.raw, buckets=self.buckets) for d in datas]
+        groups = defaultdict(list)
+        for ci, g1 in enumerate(graphs):
+            sig = tuple(
+                (path, leaf.shape) for path, leaf in
+                sorted(jax.tree_util.tree_flatten_with_path(g1)[0], key=str)
+                if hasattr(leaf, "shape")
+            )
+            groups[sig].append(ci)
+
+        bs = min(self.batch_size, S * max(len(v) for v in groups.values()))
+        if mesh is not None:
+            n_dev = mesh.size
+            bs = max(bs, n_dev) // n_dev * n_dev
+            sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(mesh.axis_names[0])
+            )
+
+        lig_acc: dict[int, list] = defaultdict(list)
+        atom_acc: dict[int, list] = defaultdict(list)
+        conf_acc: dict[int, list] = defaultdict(list)
+
+        for idxs in groups.values():
+            work = [(ci, s) for ci in idxs for s in range(S)]
+            for off in range(0, len(work), bs):
+                chunk = work[off : off + bs]
+                n_real = len(chunk)
+                while len(chunk) < bs:  # tail: repeat rows, drop later
+                    chunk.append(chunk[len(chunk) - n_real])
+                g = graphlib.stack([graphs[ci] for ci, _ in chunk])
+                if mesh is not None:
+                    g = jax.device_put(g, sharding)
+                key, sub = jax.random.split(key)
+                g_final, _ = self._run_jit(sub, g, self.variables)
+                conf = (
+                    np.asarray(self._conf_jit(g_final, self.confidence_variables))
+                    if self._conf_jit is not None
+                    else None
+                )
+                lig = np.asarray(g_final.lig_pos)
+                atom = np.asarray(g_final.atom_pos)
+                for row, (ci, _s) in enumerate(chunk[:n_real]):
+                    lig_acc[ci].append(lig[row])
+                    atom_acc[ci].append(atom[row])
+                    if conf is not None:
+                        conf_acc[ci].append(conf[row])
+
+        results = []
+        for ci, data in enumerate(datas):
+            lig_pos = np.stack(lig_acc[ci])[:S]
+            atom_pos = np.stack(atom_acc[ci])[:S]
+            conf = np.stack(conf_acc[ci])[:S] if conf_acc[ci] else None
+            order = np.argsort(-conf) if conf is not None else np.arange(S)
+            g_np = jax.device_get(graphs[ci])
+            results.append(DockingResult(
+                name=data.name,
+                lig_pos=lig_pos[order],
+                atom_pos=atom_pos[order],
+                confidence=conf[order] if conf is not None else None,
+                center=np.asarray(data.raw["original_center"]),
+                lig_mask=np.asarray(g_np.lig_mask),
+                atom_mask=np.asarray(g_np.atom_mask),
+            ))
+        return results
+
+
 def init_random_variables(model_cfg: ModelConfig, example_graph, seed: int = 0):
     """Random-init model variables for an example (batched) graph — used for
     benchmarking and before training produces checkpoints."""

@@ -58,6 +58,10 @@ def get_parser():
     # sampling
     p.add_argument("--samples_per_complex", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--multi_complex_batching", action="store_true",
+                   help="batch samples across complexes sharing a shape "
+                        "bucket (pipeline.dock_many); also shards the batch "
+                        "over all visible devices. Disables trajectories.")
     p.add_argument("--inference_steps", type=int, default=30)
     p.add_argument("--actual_steps", type=int, default=None)
     p.add_argument("--no_final_step_noise", action="store_true", default=True)
@@ -199,6 +203,27 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     failures = 0
+
+    if args.multi_complex_batching:
+        if args.save_visualisation:
+            raise SystemExit("--multi_complex_batching does not collect "
+                             "trajectories; drop --save_visualisation")
+        datas = []
+        for idx in range(len(dataset)):
+            data = dataset.get(idx) if idx else first
+            if data is None:
+                failures += 1
+            else:
+                datas.append(data)
+        mesh = None
+        if len(jax.devices()) > 1:
+            mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("dp",))
+        results = pipe.dock_many(datas, key, mesh=mesh)
+        for data, result in zip(datas, results):
+            _write_outputs(args, data, result)
+        logging.info("done; %d/%d complexes failed", failures, len(dataset))
+        return
+
     for idx in range(len(dataset)):
         data = dataset.get(idx) if idx else first
         if data is None:
@@ -212,35 +237,40 @@ def main():
             failures += 1
             continue
 
-        out = os.path.join(args.out_dir, data.name)
-        os.makedirs(out, exist_ok=True)
-        nl = len(data.raw["lig_pos"])
-        na = len(data.raw["atom_pos"])
-        for rank in range(result.lig_pos.shape[0]):
-            conf_tag = (
-                f"_confidence{result.confidence[rank]:.2f}"
-                if result.confidence is not None
-                else ""
-            )
-            visualise.write_ligand_sdf(
-                os.path.join(out, f"rank{rank + 1}{conf_tag}.sdf"),
-                data.ligand, result.lig_pos[rank][:nl], result.center,
-                name=data.name,
-            )
-            visualise.write_receptor_with_sidechains(
-                os.path.join(out, f"rank{rank + 1}_protein.pdb"),
-                data.receptor_arrays, result.atom_pos[rank][:na], result.center,
-            )
-        if args.save_visualisation and result.trajectory is not None:
-            lig_traj = result.trajectory[0]  # [steps, S, NL, 3]
-            for rank in range(min(3, lig_traj.shape[1])):
-                w = visualise.LigandTrajectoryWriter(data.ligand)
-                for step in range(lig_traj.shape[0]):
-                    w.add(lig_traj[step, rank][:nl] + result.center)
-                w.write(os.path.join(out, f"rank{rank + 1}_reverseprocess.pdb"))
-        logging.info("finished %s -> %s", data.name, out)
+        _write_outputs(args, data, result)
 
     logging.info("done; %d/%d complexes failed", failures, len(dataset))
+
+
+def _write_outputs(args, data, result):
+    from diffdock_pocket_tpu import visualise
+    out = os.path.join(args.out_dir, data.name)
+    os.makedirs(out, exist_ok=True)
+    nl = len(data.raw["lig_pos"])
+    na = len(data.raw["atom_pos"])
+    for rank in range(result.lig_pos.shape[0]):
+        conf_tag = (
+            f"_confidence{result.confidence[rank]:.2f}"
+            if result.confidence is not None
+            else ""
+        )
+        visualise.write_ligand_sdf(
+            os.path.join(out, f"rank{rank + 1}{conf_tag}.sdf"),
+            data.ligand, result.lig_pos[rank][:nl], result.center,
+            name=data.name,
+        )
+        visualise.write_receptor_with_sidechains(
+            os.path.join(out, f"rank{rank + 1}_protein.pdb"),
+            data.receptor_arrays, result.atom_pos[rank][:na], result.center,
+        )
+    if args.save_visualisation and result.trajectory is not None:
+        lig_traj = result.trajectory[0]  # [steps, S, NL, 3]
+        for rank in range(min(3, lig_traj.shape[1])):
+            w = visualise.LigandTrajectoryWriter(data.ligand)
+            for step in range(lig_traj.shape[0]):
+                w.add(lig_traj[step, rank][:nl] + result.center)
+            w.write(os.path.join(out, f"rank{rank + 1}_reverseprocess.pdb"))
+    logging.info("finished %s -> %s", data.name, out)
 
 
 if __name__ == "__main__":

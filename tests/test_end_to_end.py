@@ -108,3 +108,37 @@ def test_pose_outputs_written(docked, tmp_path):
         str(prot), data.receptor_arrays, result.atom_pos[0][:na], result.center
     )
     assert prot.exists() and prot.stat().st_size > 1000
+
+
+def test_dock_many_batches_across_complexes():
+    """dock_many: two same-bucket complexes share device batches; per-complex
+    results keep shapes, sample counts, and confidence-descending ranking —
+    and it runs sharded over the 8-device CPU test mesh."""
+    from diffdock_pocket_tpu.models.config import CONFIDENCE_CONFIG
+    import dataclasses
+
+    data = featurize.build_complex(LIGAND, PROTEIN, featurize.DataConfig(), name="a")
+    data_b = dataclasses.replace(data, name="b")
+    g_ex = graphlib.replicate(graphlib.from_raw(data.raw), 4)
+    variables = pipeline.init_random_variables(TINY, g_ex)
+    conf_cfg = dataclasses.replace(
+        TINY, confidence_mode=True, num_confidence_outputs=1, scale_by_sigma=False
+    )
+    conf_vars = pipeline.init_random_variables(conf_cfg, g_ex)
+    pipe = pipeline.DockingPipeline(
+        model_cfg=TINY,
+        variables=variables,
+        sampler_cfg=sampling.SamplerConfig(inference_steps=2, flexible_sidechains=True),
+        confidence_cfg=conf_cfg,
+        confidence_variables=conf_vars,
+        samples_per_complex=3,
+        batch_size=4,  # 6 work rows -> chunks of 4 + 2 (mixed a/b rows)
+    )
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("dp",))
+    results = pipe.dock_many([data, data_b], jax.random.PRNGKey(1), mesh=mesh)
+    assert [r.name for r in results] == ["a", "b"]
+    for r in results:
+        assert r.lig_pos.shape[0] == 3
+        assert np.all(np.isfinite(r.lig_pos))
+        assert r.confidence is not None and len(r.confidence) == 3
+        assert np.all(np.diff(r.confidence) <= 1e-6)  # ranked descending
