@@ -44,6 +44,10 @@ class DataConfig:
     matching: bool = False  # torsional conformer matching (training)
     popsize: int = 15
     maxiter: int = 15
+    # >1: store several independently matched conformers; the trainer picks
+    # one at random per batch assembly (reference num_conformers,
+    # process_mols.py:478-501 + pdbbind.py:80-81 random.choice)
+    num_conformers: int = 1
     conformer_match_sidechains: bool = False
     conformer_match_score: str = "dist"
     match_max_rmsd: Optional[float] = None
@@ -99,12 +103,21 @@ def build_complex(
     # --- ligand ------------------------------------------------------------
     lig = ligand.remove_hydrogens() if cfg.remove_hs else ligand
     rmsd_matching = 0.0
+    extra_conformers: list[np.ndarray] = []
     if cfg.matching and not cfg.keep_local_structures:
         from .conformer import conformer_match_ligand
 
+        crystal = lig  # each conformer is matched against the crystal
+        if cfg.num_conformers > 1 and rng is None:
+            rng = np.random.default_rng(0)  # vary the extra conformers
         lig, rmsd_matching = conformer_match_ligand(
-            lig, popsize=cfg.popsize, maxiter=cfg.maxiter, rng=rng
+            crystal, popsize=cfg.popsize, maxiter=cfg.maxiter, rng=rng
         )
+        for _ in range(cfg.num_conformers - 1):
+            alt, _ = conformer_match_ligand(
+                crystal, popsize=cfg.popsize, maxiter=cfg.maxiter, rng=rng
+            )
+            extra_conformers.append(alt.coords)
     lig_feat = lig.featurize()
     bond_index, bond_attr = lig.bond_arrays()
     tor_index, tor_mask = lig.rotatable_bonds()
@@ -231,6 +244,12 @@ def build_complex(
         "sc_res_index": sc_res,
         "original_center": center.astype(np.float32),
     }
+    if extra_conformers:
+        # [num_conformers, NL, 3]; ignored by from_raw's schema — the trainer
+        # substitutes one conformer into lig_pos per batch assembly
+        raw["lig_conf_pos"] = np.stack(
+            [raw["lig_pos"]] + [c - center for c in extra_conformers]
+        ).astype(np.float32)
     return ComplexData(
         raw=raw,
         name=name,

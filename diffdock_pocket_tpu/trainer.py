@@ -140,7 +140,19 @@ class Trainer:
         for batch in ds.bucketed_batches(
             cache[key], self.args.batch_size, shuffle_rng=rng
         ):
-            yield graphlib.stack([graphlib.from_raw(c.raw) for c in batch]), batch
+            yield graphlib.stack([self._graph(c, rng) for c in batch]), batch
+
+    @staticmethod
+    def _graph(c, rng):
+        """Raw -> padded graph; with num_conformers > 1 a random matched
+        conformer is substituted per batch assembly (reference
+        pdbbind.py:80-81 random.choice in apply_noise)."""
+        raw = c.raw
+        confs = raw.get("lig_conf_pos")
+        if confs is not None and len(confs) > 1:
+            r = rng if rng is not None else np.random.default_rng(0)
+            raw = dict(raw, lig_pos=confs[int(r.integers(len(confs)))])
+        return graphlib.from_raw(raw)
 
     def fit(self):
         args = self.args

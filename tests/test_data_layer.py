@@ -114,3 +114,31 @@ def test_sdf_write_roundtrip():
     assert mol2.n_atoms == mol.n_atoms
     np.testing.assert_allclose(mol2.coords, mol.coords, atol=1e-3)
     assert [b.type for b in mol2.bonds] == [b.type for b in mol.bonds]
+
+
+def test_num_conformers_stored_and_sampled():
+    """num_conformers > 1: several independently matched conformers are
+    stored (reference process_mols.py:478-501) and the trainer substitutes
+    one per batch assembly (pdbbind.py:80-81)."""
+    cfg = featurize.DataConfig(
+        matching=True, keep_local_structures=False, num_conformers=3,
+        popsize=4, maxiter=2,
+    )
+    data = featurize.build_complex(LIGAND, PROTEIN, cfg, name="3dpf")
+    confs = data.raw["lig_conf_pos"]
+    nl = len(data.raw["lig_pos"])
+    assert confs.shape == (3, nl, 3)
+    np.testing.assert_array_equal(confs[0], data.raw["lig_pos"])
+    # independent matching randomness -> distinct conformers
+    assert np.abs(confs[1] - confs[2]).max() > 1e-3
+    # bond lengths identical across conformers (torsion-only differences)
+    bi = data.raw["lig_bond_index"]
+    l1 = np.linalg.norm(confs[1][bi[:, 0]] - confs[1][bi[:, 1]], axis=1)
+    l2 = np.linalg.norm(confs[2][bi[:, 0]] - confs[2][bi[:, 1]], axis=1)
+    np.testing.assert_allclose(l1, l2, atol=1e-4)
+
+    from diffdock_pocket_tpu.trainer import Trainer
+
+    g = Trainer._graph(data, np.random.default_rng(5))
+    picked = np.asarray(g.lig_pos)[:nl]
+    assert any(np.allclose(picked, confs[i], atol=1e-5) for i in range(3))

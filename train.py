@@ -46,6 +46,7 @@ def parse_train_args(argv=None):
     p.add_argument("--atom_max_neighbors", type=int, default=8)
     p.add_argument("--matching_popsize", type=int, default=15)
     p.add_argument("--matching_maxiter", type=int, default=15)
+    p.add_argument("--num_conformers", type=int, default=1)
     p.add_argument("--max_lig_size", type=int, default=None)
     p.add_argument("--remove_hs", action="store_true", default=True)
     p.add_argument("--multiplicity", type=int, default=1)
@@ -183,6 +184,7 @@ def build_configs(args):
         flexdist_distance_metric=args.flexdist_distance_metric,
         keep_local_structures=False, matching=True,
         popsize=args.matching_popsize, maxiter=args.matching_maxiter,
+        num_conformers=args.num_conformers,
         conformer_match_sidechains=args.conformer_match_sidechains,
         conformer_match_score=args.conformer_match_score,
         match_max_rmsd=args.match_max_rmsd,
