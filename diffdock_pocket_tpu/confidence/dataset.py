@@ -34,6 +34,24 @@ from ..pipeline import DockingPipeline
 logger = logging.getLogger(__name__)
 
 
+def load_affinity_index(path: str) -> dict[str, float]:
+    """PDBBind ``INDEX_general_PL_data.2020`` -> {pdb code: -logKd/Ki}
+    (reference filtering/dataset.py:332-337).  Lines look like
+    ``3dpf  2.10  2008  5.52  Kd=3uM // 3dpf.pdf (...)``."""
+    table: dict[str, float] = {}
+    with open(path) as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split()
+            if len(parts) >= 4:
+                try:
+                    table[parts[0]] = float(parts[3])
+                except ValueError:
+                    continue
+    return table
+
+
 @dataclass
 class PoseSample:
     name: str
@@ -153,12 +171,18 @@ class FilteringDataset:
         rmsd_classification_cutoff=2.0,
         sc_rmsd_classification_cutoff=1.0,
         balance: bool = False,
+        affinities: Optional[dict[str, float]] = None,
     ):
+        if balance and isinstance(rmsd_classification_cutoff, (list, tuple)):
+            raise ValueError(
+                "a list rmsd_classification_cutoff cannot be used with balance"
+            )
         self.dataset = dataset
         self.poses = poses
         self.rmsd_cutoff = rmsd_classification_cutoff
         self.sc_cutoff = sc_rmsd_classification_cutoff
         self.balance = balance
+        self.affinities = affinities
         self.index = [
             i
             for i in range(len(dataset))
@@ -181,20 +205,53 @@ class FilteringDataset:
 
     def get(self, idx: int, rng: np.random.Generator):
         """One training example: the complex graph with a sampled pose's
-        positions written in, plus its label."""
+        positions written in, plus its label (and affinity when an index
+        table was attached — NaN marks unknown)."""
         data = self.dataset.get(self.index[idx])
         if data is None:
             return None
         pose = self.poses[data.name]
-        s = int(rng.integers(len(pose.rmsds)))
         raw = dict(data.raw)
-        raw["lig_pos"] = pose.lig_pos[s]
-        if pose.sc_pos is not None:
-            raw["atom_pos"] = pose.sc_pos[s]
-        y = self.label(
-            float(pose.rmsds[s]),
-            float(pose.sc_rmsds[s]) if pose.sc_rmsds is not None else None,
-        )
+        if self.balance:
+            # pick the class first, then a sample of that class (reference
+            # dataset.py:372-388); no successful pose -> keep the matched
+            # (original) positions as the positive example
+            y = float(rng.integers(2))
+            success = np.asarray(pose.rmsds) < self.rmsd_cutoff
+            if pose.sc_rmsds is not None:
+                success &= np.asarray(pose.sc_rmsds) < self.sc_cutoff
+            want = success if y > 0.5 else ~success
+            cand = np.flatnonzero(want)
+            if len(cand):
+                s = int(cand[rng.integers(len(cand))])
+                raw["lig_pos"] = pose.lig_pos[s]
+                if pose.sc_pos is not None:
+                    raw["atom_pos"] = pose.sc_pos[s]
+            elif y <= 0.5:
+                # every pose succeeded; any pose is wrong for label 0 — use
+                # one anyway (reference keeps the complex, mislabel is rare)
+                s = int(rng.integers(len(pose.rmsds)))
+                raw["lig_pos"] = pose.lig_pos[s]
+                if pose.sc_pos is not None:
+                    raw["atom_pos"] = pose.sc_pos[s]
+            # else: label 1 with no successful pose -> matched positions
+        else:
+            s = int(rng.integers(len(pose.rmsds)))
+            raw["lig_pos"] = pose.lig_pos[s]
+            if pose.sc_pos is not None:
+                raw["atom_pos"] = pose.sc_pos[s]
+            y = self.label(
+                float(pose.rmsds[s]),
+                float(pose.sc_rmsds[s]) if pose.sc_rmsds is not None else None,
+            )
+        if self.affinities is not None:
+            aff = float(self.affinities.get(data.name, np.nan))
+            return ComplexData(
+                raw=raw, name=data.name, ligand=data.ligand,
+                receptor_arrays=data.receptor_arrays,
+                flex_residue_ids=data.flex_residue_ids,
+                pocket_center=data.pocket_center,
+            ), y, aff
         return ComplexData(
             raw=raw, name=data.name, ligand=data.ligand,
             receptor_arrays=data.receptor_arrays,

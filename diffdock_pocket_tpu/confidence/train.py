@@ -27,52 +27,86 @@ from .dataset import FilteringDataset
 logger = logging.getLogger(__name__)
 
 
-def make_confidence_train_step(model, optimizer, loss_type: str = "bce"):
-    def loss_fn(params, batch_stats, key, g, y):
+def _split_affinity(logits, affinity_prediction: bool):
+    """Last output column is the affinity head when jointly predicted
+    (parallel == 1 wiring; reference filtering_train.py:199-206)."""
+    if not affinity_prediction:
+        return logits, None
+    conf = logits[..., :-1]
+    if conf.shape[-1] == 1:
+        conf = conf[..., 0]
+    return conf, logits[..., -1]
+
+
+def _confidence_loss(conf, y, loss_type):
+    if loss_type == "bce":
+        loss = optax.sigmoid_binary_cross_entropy(conf, y).mean()
+        acc = jnp.mean((conf > 0) == (y > 0.5))
+    elif loss_type == "crossentropy":
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            conf, y.astype(jnp.int32)
+        ).mean()
+        acc = jnp.mean(jnp.argmax(conf, -1) == y.astype(jnp.int32))
+    else:  # mse regression on rmsd
+        loss = jnp.mean((conf - y) ** 2)
+        acc = jnp.zeros(())
+    return loss, acc
+
+
+def _affinity_loss(aff_pred, aff):
+    """Masked MSE — NaN marks complexes missing from the affinity index."""
+    ok = jnp.isfinite(aff)
+    sq = jnp.where(ok, (aff_pred - jnp.where(ok, aff, 0.0)) ** 2, 0.0)
+    return sq.sum() / jnp.maximum(ok.sum(), 1)
+
+
+def make_confidence_train_step(model, optimizer, loss_type: str = "bce",
+                               affinity_prediction: bool = False,
+                               confidence_loss_weight: float = 1.0,
+                               affinity_loss_weight: float = 1.0):
+    def loss_fn(params, batch_stats, key, g, y, aff):
         t = {k: jnp.zeros((g.lig_pos.shape[0],)) for k in ("tr", "rot", "tor", "sc_tor")}
         logits, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             g, t, None, train=True, rngs={"dropout": key}, mutable=["batch_stats"],
         )
-        if loss_type == "bce":
-            loss = optax.sigmoid_binary_cross_entropy(logits, y).mean()
-            acc = jnp.mean((logits > 0) == (y > 0.5))
-        elif loss_type == "crossentropy":
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, y.astype(jnp.int32)
-            ).mean()
-            acc = jnp.mean(jnp.argmax(logits, -1) == y.astype(jnp.int32))
-        else:  # mse regression on rmsd
-            loss = jnp.mean((logits - y) ** 2)
-            acc = jnp.zeros(())
-        return loss, (acc, mutated["batch_stats"], logits)
+        conf, aff_pred = _split_affinity(logits, affinity_prediction)
+        loss, acc = _confidence_loss(conf, y, loss_type)
+        aux = {"confidence_loss": loss, "accuracy": acc}
+        loss = confidence_loss_weight * loss
+        if aff_pred is not None:
+            al = _affinity_loss(aff_pred, aff)
+            aux["affinity_loss"] = al
+            loss = loss + affinity_loss_weight * al
+        aux["loss"] = loss
+        return loss, (aux, mutated["batch_stats"])
 
-    def step(params, batch_stats, opt_state, key, g, y):
-        (loss, (acc, new_bs, logits)), grads = jax.value_and_grad(
+    def step(params, batch_stats, opt_state, key, g, y, aff):
+        (_, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, batch_stats, key, g, y)
+        )(params, batch_stats, key, g, y, aff)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, new_bs, new_opt, {"loss": loss, "accuracy": acc}
+        return params, new_bs, new_opt, aux
 
     return step
 
 
-def make_confidence_eval_step(model, loss_type: str = "bce"):
-    def step(params, batch_stats, g, y):
+def make_confidence_eval_step(model, loss_type: str = "bce",
+                              affinity_prediction: bool = False,
+                              confidence_loss_weight: float = 1.0,
+                              affinity_loss_weight: float = 1.0):
+    def step(params, batch_stats, g, y, aff):
         t = {k: jnp.zeros((g.lig_pos.shape[0],)) for k in ("tr", "rot", "tor", "sc_tor")}
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, g, t, None, train=False
         )
-        if loss_type == "bce":
-            loss = optax.sigmoid_binary_cross_entropy(logits, y).mean()
-        elif loss_type == "crossentropy":
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, y.astype(jnp.int32)
-            ).mean()
-        else:
-            loss = jnp.mean((logits - y) ** 2)
-        return loss, logits
+        conf, aff_pred = _split_affinity(logits, affinity_prediction)
+        loss, _ = _confidence_loss(conf, y, loss_type)
+        loss = confidence_loss_weight * loss
+        if aff_pred is not None:
+            loss = loss + affinity_loss_weight * _affinity_loss(aff_pred, aff)
+        return loss, conf
 
     return step
 
@@ -105,6 +139,8 @@ class ConfidenceTrainer:
         main_metric_goal: str = "min",
         transfer_params=None,
         seed: int = 0,
+        confidence_loss_weight: float = 1.0,
+        affinity_loss_weight: float = 1.0,
     ):
         self.cfg = cfg
         self.train_data = train_data
@@ -119,35 +155,45 @@ class ConfidenceTrainer:
         ckpt.save_yaml_config(run_dir, cfg)
         self.model = get_model(cfg)
         self.optimizer = optax.adam(lr)
-        self.train_step = jax.jit(
-            make_confidence_train_step(self.model, self.optimizer, loss_type)
-        )
-        self.eval_step = jax.jit(make_confidence_eval_step(self.model, loss_type))
+        aff = bool(getattr(cfg, "affinity_prediction", False)) and cfg.parallel == 1
+        self.train_step = jax.jit(make_confidence_train_step(
+            self.model, self.optimizer, loss_type, aff,
+            confidence_loss_weight, affinity_loss_weight,
+        ))
+        self.eval_step = jax.jit(make_confidence_eval_step(
+            self.model, loss_type, aff,
+            confidence_loss_weight, affinity_loss_weight,
+        ))
         self.transfer_params = transfer_params
         self.best = None
 
     def _batches(self, data: FilteringDataset, rng):
-        """Yield (stacked graph, labels) bucket-uniform batches."""
+        """Yield (stacked graph, labels, affinities) bucket-uniform batches
+        (affinity is NaN where no index entry exists)."""
         examples = []
         for i in range(len(data)):
             ex = data.get(i, rng)
-            if ex is not None:
-                examples.append(ex)
+            if ex is None:
+                continue
+            if len(ex) == 2:  # no affinity table attached
+                ex = (*ex, float("nan"))
+            examples.append(ex)
         # group by bucket signature
         from ..data.dataset import bucket_key
 
         groups = {}
-        for d, y in examples:
-            groups.setdefault(bucket_key(d.raw), []).append((d, y))
+        for ex in examples:
+            groups.setdefault(bucket_key(ex[0].raw), []).append(ex)
         for group in groups.values():
             for i in range(0, len(group), self.batch_size):
                 batch = group[i : i + self.batch_size]
                 n_real = len(batch)
                 while len(batch) < self.batch_size:
                     batch.append(batch[len(batch) % n_real])
-                g = graphlib.stack([graphlib.from_raw(d.raw) for d, _ in batch])
-                y = jnp.asarray([y for _, y in batch])
-                yield g, y
+                g = graphlib.stack([graphlib.from_raw(d.raw) for d, _, _ in batch])
+                y = jnp.asarray([y for _, y, _ in batch])
+                aff = jnp.asarray([a for _, _, a in batch], jnp.float32)
+                yield g, y, aff
 
     def fit(self, n_epochs: int):
         rng = np.random.default_rng(self.seed)
@@ -155,8 +201,8 @@ class ConfidenceTrainer:
         params = batch_stats = opt_state = None
         for epoch in range(n_epochs):
             t0 = time.time()
-            losses, accs = [], []
-            for g, y in self._batches(self.train_data, rng):
+            losses, accs, aff_losses = [], [], []
+            for g, y, aff in self._batches(self.train_data, rng):
                 if params is None:
                     variables = init_random_variables(self.cfg, g, seed=self.seed)
                     params = variables["params"]
@@ -166,14 +212,16 @@ class ConfidenceTrainer:
                     opt_state = self.optimizer.init(params)
                 key, sub = jax.random.split(key)
                 params, batch_stats, opt_state, aux = self.train_step(
-                    params, batch_stats, opt_state, sub, g, y
+                    params, batch_stats, opt_state, sub, g, y, aff
                 )
                 losses.append(float(aux["loss"]))
                 accs.append(float(aux["accuracy"]))
+                if "affinity_loss" in aux:
+                    aff_losses.append(float(aux["affinity_loss"]))
 
             val_losses, val_scores, val_labels = [], [], []
-            for g, y in self._batches(self.val_data, rng):
-                loss, logits = self.eval_step(params, batch_stats, g, y)
+            for g, y, aff in self._batches(self.val_data, rng):
+                loss, logits = self.eval_step(params, batch_stats, g, y, aff)
                 val_losses.append(float(loss))
                 val_scores.append(np.asarray(logits).reshape(-1))
                 val_labels.append(np.asarray(y).reshape(-1))
@@ -182,6 +230,8 @@ class ConfidenceTrainer:
                 "accuracy": float(np.mean(accs)) if accs else 0.0,
                 "val_loss": float(np.mean(val_losses)) if val_losses else 0.0,
             }
+            if aff_losses:
+                metrics["affinity_loss"] = float(np.mean(aff_losses))
             if val_scores and self.loss_type == "bce":
                 metrics["val_roc_auc"] = roc_auc(
                     np.concatenate(val_labels), np.concatenate(val_scores)

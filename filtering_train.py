@@ -51,6 +51,12 @@ def get_parser():
     p.add_argument("--sc_rmsd_classification_cutoff", type=float, default=1.0)
     p.add_argument("--rmsd_prediction", action="store_true")
     p.add_argument("--balance", action="store_true")
+    p.add_argument("--affinity_prediction", action="store_true",
+                   help="jointly predict -logKd/Ki from the PDBBind index")
+    p.add_argument("--affinity_index", type=str,
+                   default="data/INDEX_general_PL_data.2020")
+    p.add_argument("--affinity_loss_weight", type=float, default=1.0)
+    p.add_argument("--confidence_loss_weight", type=float, default=1.0)
     # model
     p.add_argument("--ns", type=int, default=24)
     p.add_argument("--nv", type=int, default=6)
@@ -167,12 +173,18 @@ def main():
         if len(args.rmsd_classification_cutoff) == 1
         else list(args.rmsd_classification_cutoff)
     )
+    affinities = None
+    if args.affinity_prediction:
+        from diffdock_pocket_tpu.confidence.dataset import load_affinity_index
+
+        affinities = load_affinity_index(args.affinity_index)
     train_fd = FilteringDataset(
         train_set, poses["train"], cutoff, args.sc_rmsd_classification_cutoff,
-        balance=args.balance,
+        balance=args.balance, affinities=affinities,
     )
     val_fd = FilteringDataset(
-        val_set, poses["val"], cutoff, args.sc_rmsd_classification_cutoff
+        val_set, poses["val"], cutoff, args.sc_rmsd_classification_cutoff,
+        affinities=affinities,
     )
 
     n_outputs = 1 if not isinstance(cutoff, list) else len(cutoff) + 1
@@ -183,6 +195,7 @@ def main():
         all_atoms=args.all_atoms,
         flexible_sidechains=score_cfg.flexible_sidechains,
         confidence_mode=True, num_confidence_outputs=n_outputs,
+        affinity_prediction=args.affinity_prediction,
         confidence_dropout=args.confidence_dropout,
         confidence_no_batchnorm=args.confidence_no_batchnorm,
         atom_max_neighbors=score_cfg.atom_max_neighbors,
@@ -200,6 +213,8 @@ def main():
         main_metric=args.main_metric, main_metric_goal=args.main_metric_goal,
         transfer_params=score_vars["params"] if args.transfer_weights else None,
         seed=args.seed,
+        confidence_loss_weight=args.confidence_loss_weight,
+        affinity_loss_weight=args.affinity_loss_weight,
     )
     trainer.fit(args.n_epochs)
 

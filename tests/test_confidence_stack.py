@@ -120,3 +120,49 @@ def test_roc_auc():
     assert roc_auc(labels, np.asarray([0.9, 0.8, 0.2, 0.1])) == 1.0
     assert roc_auc(labels, np.asarray([0.1, 0.2, 0.8, 0.9])) == 0.0
     assert abs(roc_auc(labels, np.asarray([0.5, 0.5, 0.5, 0.5])) - 0.5) < 1e-9
+
+
+def test_balance_sampling(pose_caches):
+    """balance=True picks the label first, then a pose of that class
+    (reference filtering/dataset.py:372-388)."""
+    ds, paths = pose_caches
+    merged = combine_pose_caches(paths)
+    fd = FilteringDataset(ds, merged, rmsd_classification_cutoff=2.0,
+                          sc_rmsd_classification_cutoff=1.0, balance=True)
+    rng = np.random.default_rng(0)
+    labels = [fd.get(i % 3, rng)[1] for i in range(40)]
+    # labels are coin flips, not pose-success rates
+    assert 0.2 < np.mean(labels) < 0.8
+    with pytest.raises(ValueError):
+        FilteringDataset(ds, merged, rmsd_classification_cutoff=[1.0, 2.0],
+                         balance=True)
+
+
+def test_affinity_labels_and_training(pose_caches, tmp_path):
+    """Affinity index parsing + joint confidence/affinity training epoch
+    (reference filtering_train.py:184-206 affinity MSE path)."""
+    from diffdock_pocket_tpu.confidence.dataset import load_affinity_index
+
+    idx_path = tmp_path / "INDEX_test.2020"
+    idx_path.write_text(
+        "# comment line\n"
+        "cplx0  2.10  2008  5.52  Kd=3uM // cplx0.pdf (ligand)\n"
+        "cplx1  1.90  2010  7.10  Ki=80nM // cplx1.pdf (ligand)\n"
+    )
+    aff = load_affinity_index(str(idx_path))
+    assert aff == {"cplx0": 5.52, "cplx1": 7.10}
+
+    ds, paths = pose_caches
+    merged = combine_pose_caches(paths)
+    fd = FilteringDataset(ds, merged, affinities=aff)
+    ex = fd.get(0, np.random.default_rng(0))
+    assert len(ex) == 3 and ex[2] == 5.52
+    # cplx2 missing from the index -> NaN marker
+    assert np.isnan(fd.get(2, np.random.default_rng(0))[2])
+
+    cfg = dataclasses.replace(TINY, confidence_mode=True, affinity_prediction=True)
+    trainer = ConfidenceTrainer(
+        cfg, fd, fd, run_dir=str(tmp_path / "conf_aff"), batch_size=2,
+    )
+    params, _ = trainer.fit(n_epochs=1)
+    assert params is not None
