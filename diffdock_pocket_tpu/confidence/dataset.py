@@ -59,6 +59,10 @@ class PoseSample:
     rmsds: np.ndarray  # [S]
     sc_pos: Optional[np.ndarray]  # [S, NA, 3] flexible-atom coords (full array)
     sc_rmsds: Optional[np.ndarray]  # [S]
+    # reverse-diffusion trajectories for per-step confidence training
+    # (reference trajectory_sampling, dataset.py:368-371): [steps, S, NL, 3]
+    trajectory: Optional[np.ndarray] = None
+    sc_trajectory: Optional[np.ndarray] = None  # [steps, S, NA, 3]
 
 
 def generate_poses(
@@ -112,12 +116,19 @@ def generate_poses(
                     for s in range(S)
                 ]
             )
+        traj = sc_traj = None
+        if result.trajectory is not None:  # sampler ran with return_trajectory
+            traj = np.asarray(result.trajectory[0])[:, :, :nl]
+            if sc_pos is not None:
+                sc_traj = np.asarray(result.trajectory[1])[:, :, :na]
         samples[data.name] = PoseSample(
             name=data.name,
             lig_pos=result.lig_pos[:, :nl],
             rmsds=rmsds,
             sc_pos=sc_pos,
             sc_rmsds=sc_rmsds,
+            trajectory=traj,
+            sc_trajectory=sc_traj,
         )
     with open(path, "wb") as fh:
         pickle.dump(samples, fh)
@@ -153,6 +164,16 @@ def combine_pose_caches(paths: list[str]) -> dict[str, PoseSample]:
                 if entries[0].sc_rmsds is not None
                 else None
             ),
+            trajectory=(
+                np.concatenate([e.trajectory for e in entries], axis=1)
+                if getattr(entries[0], "trajectory", None) is not None
+                else None
+            ),
+            sc_trajectory=(
+                np.concatenate([e.sc_trajectory for e in entries], axis=1)
+                if getattr(entries[0], "sc_trajectory", None) is not None
+                else None
+            ),
         )
     return merged
 
@@ -172,17 +193,28 @@ class FilteringDataset:
         sc_rmsd_classification_cutoff=1.0,
         balance: bool = False,
         affinities: Optional[dict[str, float]] = None,
+        trajectory_sampling: bool = False,
+        fixed_step: Optional[int] = None,
     ):
         if balance and isinstance(rmsd_classification_cutoff, (list, tuple)):
             raise ValueError(
                 "a list rmsd_classification_cutoff cannot be used with balance"
             )
+        if trajectory_sampling:
+            any_pose = next(iter(poses.values()))
+            if any_pose.trajectory is None:
+                raise ValueError(
+                    "trajectory_sampling needs a pose cache generated with "
+                    "store_trajectories (sampler return_trajectory)"
+                )
         self.dataset = dataset
         self.poses = poses
         self.rmsd_cutoff = rmsd_classification_cutoff
         self.sc_cutoff = sc_rmsd_classification_cutoff
         self.balance = balance
         self.affinities = affinities
+        self.trajectory_sampling = trajectory_sampling
+        self.fixed_step = fixed_step
         self.index = [
             i
             for i in range(len(dataset))
@@ -206,12 +238,32 @@ class FilteringDataset:
     def get(self, idx: int, rng: np.random.Generator):
         """One training example: the complex graph with a sampled pose's
         positions written in, plus its label (and affinity when an index
-        table was attached — NaN marks unknown)."""
+        table was attached — NaN marks unknown).
+
+        With ``trajectory_sampling`` the positions come from a random (or
+        ``fixed_step``) reverse-diffusion step counted from the end —
+        t = step/(steps-1), step 0 = final pose — while the label stays the
+        FINAL pose's success (reference dataset.py:368-371): the model
+        learns to predict from an intermediate pose whether the run will
+        succeed."""
         data = self.dataset.get(self.index[idx])
         if data is None:
             return None
         pose = self.poses[data.name]
         raw = dict(data.raw)
+        t = 0.0
+        lig_src, sc_src = pose.lig_pos, pose.sc_pos
+        if self.trajectory_sampling:
+            n_steps = len(pose.trajectory)
+            step = (
+                self.fixed_step
+                if self.fixed_step is not None
+                else int(rng.integers(n_steps))
+            )
+            t = step / max(n_steps - 1, 1)
+            lig_src = pose.trajectory[n_steps - step - 1]
+            if pose.sc_trajectory is not None:
+                sc_src = pose.sc_trajectory[n_steps - step - 1]
         if self.balance:
             # pick the class first, then a sample of that class (reference
             # dataset.py:372-388); no successful pose -> keep the matched
@@ -224,37 +276,34 @@ class FilteringDataset:
             cand = np.flatnonzero(want)
             if len(cand):
                 s = int(cand[rng.integers(len(cand))])
-                raw["lig_pos"] = pose.lig_pos[s]
-                if pose.sc_pos is not None:
-                    raw["atom_pos"] = pose.sc_pos[s]
+                raw["lig_pos"] = lig_src[s]
+                if sc_src is not None:
+                    raw["atom_pos"] = sc_src[s]
             elif y <= 0.5:
                 # every pose succeeded; any pose is wrong for label 0 — use
                 # one anyway (reference keeps the complex, mislabel is rare)
                 s = int(rng.integers(len(pose.rmsds)))
-                raw["lig_pos"] = pose.lig_pos[s]
-                if pose.sc_pos is not None:
-                    raw["atom_pos"] = pose.sc_pos[s]
+                raw["lig_pos"] = lig_src[s]
+                if sc_src is not None:
+                    raw["atom_pos"] = sc_src[s]
             # else: label 1 with no successful pose -> matched positions
         else:
             s = int(rng.integers(len(pose.rmsds)))
-            raw["lig_pos"] = pose.lig_pos[s]
-            if pose.sc_pos is not None:
-                raw["atom_pos"] = pose.sc_pos[s]
+            raw["lig_pos"] = lig_src[s]
+            if sc_src is not None:
+                raw["atom_pos"] = sc_src[s]
             y = self.label(
                 float(pose.rmsds[s]),
                 float(pose.sc_rmsds[s]) if pose.sc_rmsds is not None else None,
             )
-        if self.affinities is not None:
-            aff = float(self.affinities.get(data.name, np.nan))
-            return ComplexData(
-                raw=raw, name=data.name, ligand=data.ligand,
-                receptor_arrays=data.receptor_arrays,
-                flex_residue_ids=data.flex_residue_ids,
-                pocket_center=data.pocket_center,
-            ), y, aff
+        aff = (
+            float(self.affinities.get(data.name, np.nan))
+            if self.affinities is not None
+            else float("nan")
+        )
         return ComplexData(
             raw=raw, name=data.name, ligand=data.ligand,
             receptor_arrays=data.receptor_arrays,
             flex_residue_ids=data.flex_residue_ids,
             pocket_center=data.pocket_center,
-        ), y
+        ), y, aff, t

@@ -64,8 +64,8 @@ def make_confidence_train_step(model, optimizer, loss_type: str = "bce",
                                affinity_prediction: bool = False,
                                confidence_loss_weight: float = 1.0,
                                affinity_loss_weight: float = 1.0):
-    def loss_fn(params, batch_stats, key, g, y, aff):
-        t = {k: jnp.zeros((g.lig_pos.shape[0],)) for k in ("tr", "rot", "tor", "sc_tor")}
+    def loss_fn(params, batch_stats, key, g, y, aff, tvals):
+        t = {k: tvals for k in ("tr", "rot", "tor", "sc_tor")}
         logits, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             g, t, None, train=True, rngs={"dropout": key}, mutable=["batch_stats"],
@@ -81,10 +81,10 @@ def make_confidence_train_step(model, optimizer, loss_type: str = "bce",
         aux["loss"] = loss
         return loss, (aux, mutated["batch_stats"])
 
-    def step(params, batch_stats, opt_state, key, g, y, aff):
+    def step(params, batch_stats, opt_state, key, g, y, aff, tvals):
         (_, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, batch_stats, key, g, y, aff)
+        )(params, batch_stats, key, g, y, aff, tvals)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, new_opt, aux
@@ -96,8 +96,8 @@ def make_confidence_eval_step(model, loss_type: str = "bce",
                               affinity_prediction: bool = False,
                               confidence_loss_weight: float = 1.0,
                               affinity_loss_weight: float = 1.0):
-    def step(params, batch_stats, g, y, aff):
-        t = {k: jnp.zeros((g.lig_pos.shape[0],)) for k in ("tr", "rot", "tor", "sc_tor")}
+    def step(params, batch_stats, g, y, aff, tvals):
+        t = {k: tvals for k in ("tr", "rot", "tor", "sc_tor")}
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, g, t, None, train=False
         )
@@ -168,16 +168,14 @@ class ConfidenceTrainer:
         self.best = None
 
     def _batches(self, data: FilteringDataset, rng):
-        """Yield (stacked graph, labels, affinities) bucket-uniform batches
-        (affinity is NaN where no index entry exists)."""
+        """Yield (stacked graph, labels, affinities, times) bucket-uniform
+        batches (affinity is NaN where no index entry exists; time is 0
+        except under trajectory sampling)."""
         examples = []
         for i in range(len(data)):
             ex = data.get(i, rng)
-            if ex is None:
-                continue
-            if len(ex) == 2:  # no affinity table attached
-                ex = (*ex, float("nan"))
-            examples.append(ex)
+            if ex is not None:
+                examples.append(ex)
         # group by bucket signature
         from ..data.dataset import bucket_key
 
@@ -190,10 +188,11 @@ class ConfidenceTrainer:
                 n_real = len(batch)
                 while len(batch) < self.batch_size:
                     batch.append(batch[len(batch) % n_real])
-                g = graphlib.stack([graphlib.from_raw(d.raw) for d, _, _ in batch])
-                y = jnp.asarray([y for _, y, _ in batch])
-                aff = jnp.asarray([a for _, _, a in batch], jnp.float32)
-                yield g, y, aff
+                g = graphlib.stack([graphlib.from_raw(d.raw) for d, _, _, _ in batch])
+                y = jnp.asarray([y for _, y, _, _ in batch])
+                aff = jnp.asarray([a for _, _, a, _ in batch], jnp.float32)
+                tvals = jnp.asarray([t for _, _, _, t in batch], jnp.float32)
+                yield g, y, aff, tvals
 
     def fit(self, n_epochs: int):
         rng = np.random.default_rng(self.seed)
@@ -202,7 +201,7 @@ class ConfidenceTrainer:
         for epoch in range(n_epochs):
             t0 = time.time()
             losses, accs, aff_losses = [], [], []
-            for g, y, aff in self._batches(self.train_data, rng):
+            for g, y, aff, tvals in self._batches(self.train_data, rng):
                 if params is None:
                     variables = init_random_variables(self.cfg, g, seed=self.seed)
                     params = variables["params"]
@@ -212,7 +211,7 @@ class ConfidenceTrainer:
                     opt_state = self.optimizer.init(params)
                 key, sub = jax.random.split(key)
                 params, batch_stats, opt_state, aux = self.train_step(
-                    params, batch_stats, opt_state, sub, g, y, aff
+                    params, batch_stats, opt_state, sub, g, y, aff, tvals
                 )
                 losses.append(float(aux["loss"]))
                 accs.append(float(aux["accuracy"]))
@@ -220,8 +219,8 @@ class ConfidenceTrainer:
                     aff_losses.append(float(aux["affinity_loss"]))
 
             val_losses, val_scores, val_labels = [], [], []
-            for g, y, aff in self._batches(self.val_data, rng):
-                loss, logits = self.eval_step(params, batch_stats, g, y, aff)
+            for g, y, aff, tvals in self._batches(self.val_data, rng):
+                loss, logits = self.eval_step(params, batch_stats, g, y, aff, tvals)
                 val_losses.append(float(loss))
                 val_scores.append(np.asarray(logits).reshape(-1))
                 val_labels.append(np.asarray(y).reshape(-1))

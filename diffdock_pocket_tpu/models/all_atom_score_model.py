@@ -94,14 +94,13 @@ class AllAtomScoreModel(nn.Module):
         NA = g.atom_pos.shape[1]
         ns, nv = cfg.ns, cfg.nv
 
-        if cfg.confidence_mode:
-            sigma_tr, sigma_rot, sigma_tor, sigma_sc = (
-                t["tr"], t["rot"], t["tor"], t["sc_tor"],
-            )
-        else:
-            sigma_tr, sigma_rot, sigma_tor, sigma_sc = cfg.sigma.t_to_sigma(
-                t["tr"], t["rot"], t["tor"], t["sc_tor"]
-            )
+        # sigmas from t in every mode (reference derives them through
+        # t_to_sigma for the confidence model too — the dynamic cross cutoff
+        # depends on sigma_tr, which matters for trajectory-step confidence
+        # training where t > 0)
+        sigma_tr, sigma_rot, sigma_tor, sigma_sc = cfg.sigma.t_to_sigma(
+            t["tr"], t["rot"], t["tor"], t["sc_tor"]
+        )
 
         # ---- sigma embedding (graph level; all nodes share t) -------------
         emb_fn = diffusion.make_timestep_embedding(

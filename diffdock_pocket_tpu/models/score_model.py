@@ -69,12 +69,10 @@ class CGScoreModel(nn.Module):
         NR = g.rec_pos.shape[1]
         ns, nv = cfg.ns, cfg.nv
 
-        if cfg.confidence_mode:
-            sigma_tr, sigma_rot, sigma_tor = t["tr"], t["rot"], t["tor"]
-        else:
-            sigma_tr, sigma_rot, sigma_tor, _ = cfg.sigma.t_to_sigma(
-                t["tr"], t["rot"], t["tor"], t["sc_tor"]
-            )
+        # sigmas via t_to_sigma in every mode (see all_atom_score_model note)
+        sigma_tr, sigma_rot, sigma_tor, _ = cfg.sigma.t_to_sigma(
+            t["tr"], t["rot"], t["tor"], t["sc_tor"]
+        )
 
         emb_fn = diffusion.make_timestep_embedding(
             cfg.embedding_type, cfg.sigma_embed_dim, cfg.embedding_scale

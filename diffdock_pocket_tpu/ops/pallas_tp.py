@@ -23,6 +23,13 @@ scalar to a full 128-lane tile and blows VMEM by 64x):
 Output is [dout, E] (transposed); the caller transposes back (cheap in XLA).
 Supports the lmax=1 FasterTensorProduct decomposition — the published model
 path.  interpret=True runs on CPU for tests.
+
+Measured balance (scripts/profile_kernel_ablation.py, big-model late layer,
+768 tiles on the bench chip): full kernel 7.6 us/tile, weight matmuls alone
+7.3 us/tile (MXU, ~73 TFLOP/s effective at K=184), TP apply alone
+5.6 us/tile (VPU) — the two units overlap almost completely, so the kernel
+is jointly saturated; further gains need fewer FLOPs (smaller edge sets),
+not better scheduling.
 """
 from __future__ import annotations
 

@@ -51,6 +51,13 @@ def get_parser():
     p.add_argument("--sc_rmsd_classification_cutoff", type=float, default=1.0)
     p.add_argument("--rmsd_prediction", action="store_true")
     p.add_argument("--balance", action="store_true")
+    p.add_argument("--trajectory_sampling", action="store_true",
+                   help="train on intermediate reverse-diffusion poses "
+                        "(labels = final-pose success, t stamped per step); "
+                        "pose caches are generated with trajectories")
+    p.add_argument("--fixed_step", type=int, default=None,
+                   help="with --trajectory_sampling: always use this step "
+                        "(counted from the end) instead of a random one")
     p.add_argument("--affinity_prediction", action="store_true",
                    help="jointly predict -logKd/Ki from the PDBBind index")
     p.add_argument("--affinity_index", type=str,
@@ -140,6 +147,7 @@ def main():
         sampler_cfg=sampling.SamplerConfig(
             inference_steps=args.inference_steps,
             flexible_sidechains=score_cfg.flexible_sidechains,
+            return_trajectory=args.trajectory_sampling,
         ),
         samples_per_complex=args.samples_per_complex,
         batch_size=args.samples_per_complex,
@@ -181,10 +189,13 @@ def main():
     train_fd = FilteringDataset(
         train_set, poses["train"], cutoff, args.sc_rmsd_classification_cutoff,
         balance=args.balance, affinities=affinities,
+        trajectory_sampling=args.trajectory_sampling,
     )
     val_fd = FilteringDataset(
         val_set, poses["val"], cutoff, args.sc_rmsd_classification_cutoff,
         affinities=affinities,
+        trajectory_sampling=args.trajectory_sampling,
+        fixed_step=args.fixed_step,
     )
 
     n_outputs = 1 if not isinstance(cutoff, list) else len(cutoff) + 1

@@ -93,8 +93,9 @@ def test_filtering_dataset_labels(pose_caches):
     rng = np.random.default_rng(0)
     ex = fd.get(0, rng)
     assert ex is not None
-    data, y = ex
+    data, y, aff, t = ex
     assert y in (0.0, 1.0)
+    assert np.isnan(aff) and t == 0.0  # no affinity table, no trajectories
     # the pose positions were written into the graph
     assert data.raw["lig_pos"].shape == ds.items[0].raw["lig_pos"].shape
 
@@ -156,7 +157,7 @@ def test_affinity_labels_and_training(pose_caches, tmp_path):
     merged = combine_pose_caches(paths)
     fd = FilteringDataset(ds, merged, affinities=aff)
     ex = fd.get(0, np.random.default_rng(0))
-    assert len(ex) == 3 and ex[2] == 5.52
+    assert len(ex) == 4 and ex[2] == 5.52
     # cplx2 missing from the index -> NaN marker
     assert np.isnan(fd.get(2, np.random.default_rng(0))[2])
 
@@ -164,5 +165,58 @@ def test_affinity_labels_and_training(pose_caches, tmp_path):
     trainer = ConfidenceTrainer(
         cfg, fd, fd, run_dir=str(tmp_path / "conf_aff"), batch_size=2,
     )
+    params, _ = trainer.fit(n_epochs=1)
+    assert params is not None
+
+
+def test_trajectory_sampling(tmp_path):
+    """Trajectory-step confidence training: pose cache stores trajectories,
+    get() serves an intermediate step with t = step/(steps-1) while the
+    label remains final-pose success; one training epoch runs with the
+    per-example t stamped (reference dataset.py:368-371)."""
+    ds = FakeDataset(2)
+    g_ex = graphlib.replicate(graphlib.from_raw(ds.items[0].raw, SMALL_BUCKETS), 2)
+    variables = pipeline.init_random_variables(TINY, g_ex)
+    pipe = pipeline.DockingPipeline(
+        model_cfg=TINY, variables=variables,
+        sampler_cfg=sampling.SamplerConfig(
+            inference_steps=3, flexible_sidechains=True, return_trajectory=True
+        ),
+        samples_per_complex=2, batch_size=2, buckets=SMALL_BUCKETS,
+    )
+    from diffdock_pocket_tpu.confidence.dataset import generate_poses as gen
+
+    out = str(tmp_path / "traj_poses")
+    path = gen(pipe, ds, out, cache_creation_id=1, seed=0)
+    merged = combine_pose_caches([path])
+    sample = next(iter(merged.values()))
+    assert sample.trajectory is not None
+    n_steps = sample.trajectory.shape[0]
+    assert sample.trajectory.shape[1] == 2  # S
+
+    # without trajectories in the cache the flag must be rejected
+    fd_plain = FilteringDataset(ds, {
+        k: PoseSample(v.name, v.lig_pos, v.rmsds, v.sc_pos, v.sc_rmsds)
+        for k, v in merged.items()
+    })
+    with pytest.raises(ValueError):
+        FilteringDataset(ds, fd_plain.poses, trajectory_sampling=True)
+
+    fd = FilteringDataset(ds, merged, trajectory_sampling=True)
+    rng = np.random.default_rng(0)
+    ts = {fd.get(i % 2, rng)[3] for i in range(20)}
+    assert len(ts) > 1 and all(0.0 <= t <= 1.0 for t in ts)
+    # fixed_step=0 serves the FINAL pose at t=0
+    fd0 = FilteringDataset(ds, merged, trajectory_sampling=True, fixed_step=0)
+    data, y, _, t = fd0.get(0, rng)
+    assert t == 0.0
+    name = data.name
+    final = merged[name].trajectory[-1]
+    assert any(np.allclose(data.raw["lig_pos"], final[s], atol=1e-5)
+               for s in range(final.shape[0]))
+
+    cfg = dataclasses.replace(TINY, confidence_mode=True)
+    trainer = ConfidenceTrainer(cfg, fd, fd0, run_dir=str(tmp_path / "conf_traj"),
+                                batch_size=2)
     params, _ = trainer.fit(n_epochs=1)
     assert params is not None
