@@ -12,9 +12,12 @@ Tiles of 128 edges are processed with every per-edge scalar as a [1, 128]
 row (sublane-padded only — the naive edges-on-sublanes layout pads each
 scalar to a full 128-lane tile and blows VMEM by 64x):
 
-- weights: wt = W2_t^T [n_t, H] @ h^T [H, 128] per output type on the MXU
+- weights: wt = W2_t^T [n_t, H+1] @ h^T [H+1, 128] per output type on the MXU
   (M = fin*fout_pad is large -> good utilization); the [E, numel] HBM tensor
-  is never materialized;
+  is never materialized; the MLP bias rides as an extra W2 column against a
+  ones-row appended to h — a [rows_pad, 1] bias operand would lane-pad to a
+  ~6 MB VMEM buffer (the backward kernel OOM'd 19.6 > 16 MB with it at
+  3dpf/B=8 shapes), while the extra column is free (lanes pad to 256 anyway);
 - TP apply: unrolled fan-in loop of [fout_pad, 128] FMAs on the VPU with
   [1, 128] candidate broadcasts;
 - per-type fout is padded to the sublane multiple (8) via a host-side W2
@@ -90,16 +93,25 @@ def _relayout_w2(w2, b2, tp: FasterTensorProduct):
     return out, ob
 
 
-def _kernel_body(tp: FasterTensorProduct, plan, h_ref, x_ref, sh_ref, ew_ref,
-                 w2t_ref, b2_ref, out_ref):
-    """All arrays transposed: h [H, T], x [din, T], sh [4, T], ew [1, T],
-    w2t [rows_pad, H], b2 [rows_pad, 1], out [dout, T]."""
+def _aug_w2(w2, b2, tp: FasterTensorProduct):
+    """Augmented padded transposed weights [rows_pad, H+1] bf16: the last
+    column is the bias, matched by a ones-row appended to h."""
+    w2t, b2p = _relayout_w2(w2.astype(jnp.bfloat16), b2.astype(jnp.float32), tp)
+    return jnp.concatenate([w2t, b2p[:, None].astype(jnp.bfloat16)], axis=1)
+
+
+def _aug_h(ht):
+    """[H, E] -> [H+1, E] with a ones row (bias lane for the folded matmul)."""
+    return jnp.concatenate([ht, jnp.ones((1, ht.shape[1]), ht.dtype)], axis=0)
+
+
+def _kernel_core(tp: FasterTensorProduct, plan, h, x, sh_ref, ew, w2a, out_ref):
+    """All arrays transposed: h [H+1, T] (ones last row), x [din, T],
+    sh [4, T], ew [1, T], w2a [rows_pad, H+1] (bias last column),
+    out [dout, T]."""
     im = tp.in_muls
     n0e, n1o, n1e, n0o = im["0e"], im["1o"], im["1e"], im["0o"]
 
-    h = h_ref[:]  # [H, T] bf16
-    ew = ew_ref[:]  # [1, T]
-    x = x_ref[:]  # [din, T] f32
     s = sh_ref[0:1, :]
     vx, vy, vz = sh_ref[1:2, :], sh_ref[2:3, :], sh_ref[3:4, :]
 
@@ -126,14 +138,13 @@ def _kernel_body(tp: FasterTensorProduct, plan, h_ref, x_ref, sh_ref, ew_ref,
         fin, fout, fout_pad, roff = plan[key]
         n = fin * fout_pad
         wt = jnp.dot(
-            w2t_ref[roff : roff + n, :], h,
+            w2a[roff : roff + n, :], h,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,  # pin: ambient HIGHEST
             # contexts would ask Mosaic for fp32-emulated bf16 dots ("Bad
             # lhs type"); this matmul is bf16 by design
-        )  # [n, T]
-        wt = (wt + b2_ref[roff : roff + n, :]) * ew
-        return wt * (1.0 / math.sqrt(max(fin, 1)))
+        )  # [n, T]; bias folded in via the ones row
+        return wt * ew * (1.0 / math.sqrt(max(fin, 1)))
 
     out_rows = []
 
@@ -198,6 +209,10 @@ def _kernel_body(tp: FasterTensorProduct, plan, h_ref, x_ref, sh_ref, ew_ref,
     out_ref[:] = jnp.concatenate(out_rows, axis=0)
 
 
+def _kernel_body(tp, plan, h_ref, x_ref, sh_ref, ew_ref, w2a_ref, out_ref):
+    _kernel_core(tp, plan, h_ref[:], x_ref[:], sh_ref, ew_ref[:], w2a_ref[:], out_ref)
+
+
 def _forward_impl(
     h,  # [E, H] edge-MLP hidden activations (post-ReLU)
     x_dst,  # [E, din] gathered destination features
@@ -232,9 +247,9 @@ def _forward_impl(
         edge_weight = jnp.pad(edge_weight, pad)
 
     plan, rows_pad = _plan(tp)
-    w2t, b2p = _relayout_w2(w2.astype(jnp.bfloat16), b2.astype(jnp.float32), tp)
+    w2a = _aug_w2(w2, b2, tp)  # [rows_pad, H+1]
 
-    ht = h.astype(jnp.bfloat16).T  # [H, E]
+    ht = _aug_h(h.astype(jnp.bfloat16).T)  # [H+1, E]
     xt = x_dst.T  # [din, E]
     sht = sh.T  # [4, E]
     ewt = edge_weight[None, :].astype(jnp.float32)  # [1, E]
@@ -244,17 +259,16 @@ def _forward_impl(
         kernel,
         grid=(E_pad // TILE,),
         in_specs=[
-            pl.BlockSpec((h.shape[1], TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H + 1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((din, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_pad, h.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_pad, H + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((dout, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((dout, E_pad), jnp.float32),
         interpret=interpret,
-    )(ht, xt, sht, ewt, w2t, b2p[:, None])
+    )(ht, xt, sht, ewt, w2a)
     return out_t.T[:E]
 
 
@@ -318,17 +332,18 @@ def _bwd_one(h, x_dst, sh, edge_weight, w2, b2, g, in_irreps, out_irreps, interp
         h_p, x_p, sh_p, ew_p = h, x_dst, sh, edge_weight
 
     plan, rows_pad = _plan(tp)
-    w2t, b2p = _relayout_w2(w2.astype(jnp.bfloat16), b2.astype(jnp.float32), tp)
+    w2a = _aug_w2(w2, b2, tp)  # [rows_pad, H+1], bias folded
 
-    dh_t, dx_t, dw2t, db2t = run_bwd(
+    dh_t, dx_t, dw2a = run_bwd(
         tp, plan, rows_pad,
-        h_p.astype(jnp.bfloat16).T, x_p.T, sh_p.T,
-        ew_p[None, :].astype(jnp.float32), w2t, b2p[:, None],
+        _aug_h(h_p.astype(jnp.bfloat16).T), x_p.T, sh_p.T,
+        ew_p[None, :].astype(jnp.float32), w2a,
         gt.T.astype(jnp.float32), interpret=interpret,
     )
-    dh = dh_t.T[:E]
+    dh = dh_t.T[:E, :H]  # drop the ones-row lane
     dx = dx_t.T[:E]
-    dw2, db2 = _unrelayout_w2(dw2t, db2t, tp)
+    # dw2a's last column is db2 (the ones-row contraction)
+    dw2, db2 = _unrelayout_w2(dw2a[:, :H], dw2a[:, H:], tp)
     dsh = jnp.zeros_like(sh)
     dew = jnp.zeros_like(edge_weight)
     return dh, dx, dsh, dew, dw2, db2
@@ -353,112 +368,15 @@ fused_tp_messages.defvjp(_fused_fwd, _fused_bwd)
 # stalls over ~10x more tiles: edges of every family are concatenated on the
 # lane axis (each family padded to a tile multiple), and a scalar-prefetch
 # map assigns a family id to every 128-edge tile; the W2 BlockSpec uses it
-# to stream the right family's weights.  The bias is folded into the weight
-# matmul (ones-row appended to h, bias column appended to W2t) which removes
-# the lane-padded [rows_pad, 1] bias buffer from VMEM — paying for the W2
-# double-buffering the family-varying BlockSpec introduces.
+# to stream the right family's weights (double-buffered, unlike the
+# grid-invariant single-family W2 block).
 
 def _kernel_body_multi(tp, plan, fam_ref, h_ref, x_ref, sh_ref, ew_ref,
                        w2a_ref, out_ref):
-    """h [H+1, T] (last row = ones), w2a [1, rows_pad, H+1] (last col = bias),
-    everything else as in _kernel_body."""
+    """Same core as _kernel_body; w2a is [1, rows_pad, H+1] — the leading
+    dim is the family axis selected by the scalar-prefetch BlockSpec."""
     del fam_ref  # only consumed by the BlockSpec index maps
-    im = tp.in_muls
-    n0e, n1o, n1e, n0o = im["0e"], im["1o"], im["1e"], im["0o"]
-
-    h = h_ref[:]  # [H+1, T] bf16 (ones row folded in)
-    ew = ew_ref[:]  # [1, T]
-    x = x_ref[:]  # [din, T] f32
-    s = sh_ref[0:1, :]
-    vx, vy, vz = sh_ref[1:2, :], sh_ref[2:3, :], sh_ref[3:4, :]
-    w2a = w2a_ref[0]  # [rows_pad, H+1]
-
-    off = 0
-    x0e = x[off : off + n0e]; off += n0e
-    x1o = [x[off + 3 * u : off + 3 * u + 3] for u in range(n1o)]; off += 3 * n1o
-    x1e = [x[off + 3 * u : off + 3 * u + 3] for u in range(n1e)]; off += 3 * n1e
-    x0o = x[off : off + n0o]
-
-    inv3 = 1.0 / math.sqrt(3.0)
-    inv2 = 1.0 / math.sqrt(2.0)
-
-    def dotv(u):
-        return u[0:1] * vx + u[1:2] * vy + u[2:3] * vz
-
-    def crossv(u):
-        return (
-            u[1:2] * vz - u[2:3] * vy,
-            u[2:3] * vx - u[0:1] * vz,
-            u[0:1] * vy - u[1:2] * vx,
-        )
-
-    def type_weights(key):
-        fin, fout, fout_pad, roff = plan[key]
-        n = fin * fout_pad
-        wt = jnp.dot(
-            w2a[roff : roff + n, :], h,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )  # [n, T]; bias already folded in via the ones row
-        return wt * ew * (1.0 / math.sqrt(max(fin, 1)))
-
-    out_rows = []
-
-    fin, fout, fout_pad, _ = plan["0e"]
-    if fout:
-        wt = type_weights("0e")
-        acc = jnp.zeros((fout_pad, h.shape[1]), jnp.float32)
-        ci = 0
-        for u in range(n0e):
-            acc += (x0e[u : u + 1] * s) * wt[ci * fout_pad : (ci + 1) * fout_pad]
-            ci += 1
-        for u in x1o:
-            acc += (dotv(u) * inv3) * wt[ci * fout_pad : (ci + 1) * fout_pad]
-            ci += 1
-        out_rows.append(acc[:fout])
-
-    def vector_type(key, chans):
-        fin, fout, fout_pad, _ = plan[key]
-        if not fout:
-            return
-        wt = type_weights(key)
-        accs = [jnp.zeros((fout_pad, h.shape[1]), jnp.float32) for _ in range(3)]
-        for ci, comps in enumerate(chans):
-            ws = wt[ci * fout_pad : (ci + 1) * fout_pad]
-            for c in range(3):
-                accs[c] += comps[c] * ws
-        rows = []
-        for m in range(fout):
-            rows += [accs[0][m : m + 1], accs[1][m : m + 1], accs[2][m : m + 1]]
-        out_rows.append(jnp.concatenate(rows, axis=0))
-
-    chans_1o = (
-        [(x0e[u : u + 1] * vx, x0e[u : u + 1] * vy, x0e[u : u + 1] * vz) for u in range(n0e)]
-        + [(u[0:1] * s, u[1:2] * s, u[2:3] * s) for u in x1o]
-        + [tuple(c * inv2 for c in crossv(u)) for u in x1e]
-    )
-    vector_type("1o", chans_1o)
-    chans_1e = (
-        [tuple(c * inv2 for c in crossv(u)) for u in x1o]
-        + [(u[0:1] * s, u[1:2] * s, u[2:3] * s) for u in x1e]
-        + [(x0o[u : u + 1] * vx, x0o[u : u + 1] * vy, x0o[u : u + 1] * vz) for u in range(n0o)]
-    )
-    vector_type("1e", chans_1e)
-
-    fin, fout, fout_pad, _ = plan["0o"]
-    if fout:
-        wt = type_weights("0o")
-        acc = jnp.zeros((fout_pad, h.shape[1]), jnp.float32)
-        ci = 0
-        for u in x1e:
-            acc += (dotv(u) * inv3) * wt[ci * fout_pad : (ci + 1) * fout_pad]
-            ci += 1
-        for u in range(n0o):
-            acc += (x0o[u : u + 1] * s) * wt[ci * fout_pad : (ci + 1) * fout_pad]
-            ci += 1
-        out_rows.append(acc[:fout])
-
-    out_ref[:] = jnp.concatenate(out_rows, axis=0)
+    _kernel_core(tp, plan, h_ref[:], x_ref[:], sh_ref, ew_ref[:], w2a_ref[0], out_ref)
 
 
 def _forward_multi_impl(parts, in_irreps: str, out_irreps: str,
@@ -491,8 +409,7 @@ def _forward_multi_impl(parts, in_irreps: str, out_irreps: str,
         xts.append(x_dst.T)
         shts.append(sh.T)
         ewts.append(edge_weight[None, :].astype(jnp.float32))
-        w2t, b2p = _relayout_w2(w2.astype(jnp.bfloat16), b2.astype(jnp.float32), tp)
-        w2as.append(jnp.concatenate([w2t, b2p[:, None].astype(jnp.bfloat16)], axis=1))
+        w2as.append(_aug_w2(w2, b2, tp))
         fam_ids += [f] * (E_pad // TILE)
 
     ht = jnp.concatenate(hts, axis=1)  # [H, sumE]

@@ -136,8 +136,12 @@ def _gather_g_vector(g_ref, gout_off, fout, fout_pad, T):
 # kernel 1: dh + dx
 # ---------------------------------------------------------------------------
 
-def _dhdx_kernel(tp, plan, h_ref, x_ref, sh_ref, ew_ref, w2t_ref, b2_ref,
+def _dhdx_kernel(tp, plan, h_ref, x_ref, sh_ref, ew_ref, w2a_ref,
                  g_ref, dh_ref, dx_ref):
+    """h [H+1, T] with a ones last row; w2a [rows_pad, H+1] with the bias as
+    its last column (see pallas_tp.py — a separate [rows_pad, 1] bias operand
+    lane-pads to ~6 MB and OOMs VMEM at big-model sizes).  dh is [H+1, T];
+    its last row is a bias artifact the caller drops."""
     T = h_ref.shape[1]
     h = h_ref[:]
     ew = ew_ref[:]
@@ -197,9 +201,9 @@ def _dhdx_kernel(tp, plan, h_ref, x_ref, sh_ref, ew_ref, w2t_ref, b2_ref,
             return
         n = fin * fout_pad
         alpha = ew * (1.0 / math.sqrt(max(fin, 1)))
-        wt = jnp.dot(w2t_ref[roff : roff + n, :], h,
+        wt = jnp.dot(w2a_ref[roff : roff + n, :], h,
                      preferred_element_type=jnp.float32, precision=_DEF)
-        wt = (wt + b2_ref[roff : roff + n, :]) * alpha
+        wt = wt * alpha  # bias folded into the matmul via the ones row
         if is_vector:
             g_c = _gather_g_vector(g_ref, gout_off[0], fout, fout_pad, T)
             gout_off[0] += fout * 3
@@ -221,7 +225,7 @@ def _dhdx_kernel(tp, plan, h_ref, x_ref, sh_ref, ew_ref, w2t_ref, b2_ref,
                 add_dx_scalar(kind, idx, dz)
         dw_t = jnp.concatenate(dws, axis=0) * alpha
         dh_acc[0] += jax.lax.dot_general(
-            w2t_ref[roff : roff + n, :].astype(jnp.float32), dw_t,
+            w2a_ref[roff : roff + n, :].astype(jnp.float32), dw_t,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_DEF,
         )
@@ -245,13 +249,15 @@ def _dhdx_kernel(tp, plan, h_ref, x_ref, sh_ref, ew_ref, w2t_ref, b2_ref,
 # kernel 2: dW2 + db2 (grid-accumulated)
 # ---------------------------------------------------------------------------
 
-def _dw_kernel(tp, plan, h_ref, x_ref, sh_ref, ew_ref, g_ref, dw2_ref, db2_ref):
+def _dw_kernel(tp, plan, h_ref, x_ref, sh_ref, ew_ref, g_ref, dw2_ref):
+    """dw2 is the augmented [rows_pad, H+1] gradient: contracting dw against
+    h's ones row makes the last column db2 for free (no separate lane-padded
+    [rows_pad, 1] output buffer)."""
     T = h_ref.shape[1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
-        db2_ref[:] = jnp.zeros_like(db2_ref)
 
     h = h_ref[:]
     ew = ew_ref[:]
@@ -283,8 +289,7 @@ def _dw_kernel(tp, plan, h_ref, x_ref, sh_ref, ew_ref, g_ref, dw2_ref, db2_ref):
             dw_t, h.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_DEF,
-        )
-        db2_ref[roff : roff + n, :] += jnp.sum(dw_t, axis=1, keepdims=True)
+        )  # h's ones row makes column H the bias gradient
 
     run_type("0e", False)
     run_type("1o", True)
@@ -296,11 +301,12 @@ def _dw_kernel(tp, plan, h_ref, x_ref, sh_ref, ew_ref, g_ref, dw2_ref, db2_ref):
 # host wrapper
 # ---------------------------------------------------------------------------
 
-def run_bwd(tp, plan, rows_pad, ht, xt, sht, ewt, w2t, b2t, gt, interpret=False):
-    """ht [H, E] bf16, xt [din, E], sht [4, E], ewt [1, E], w2t [rows_pad, H]
-    bf16, b2t [rows_pad, 1], gt [dout, E] f32.  Returns
-    (dh [H,E], dx [din,E], dw2t [rows_pad,H], db2t [rows_pad,1])."""
-    H, E = ht.shape
+def run_bwd(tp, plan, rows_pad, ht, xt, sht, ewt, w2a, gt, interpret=False):
+    """ht [H+1, E] bf16 (ones last row), xt [din, E], sht [4, E], ewt [1, E],
+    w2a [rows_pad, H+1] bf16 (bias last column), gt [dout, E] f32.  Returns
+    (dh [H+1, E] — caller drops the last row, dx [din, E],
+    dw2a [rows_pad, H+1] — last column is db2)."""
+    Ha, E = ht.shape  # Ha = H + 1
     din = xt.shape[0]
     dout = gt.shape[0]
     grid = (E // TILE,)
@@ -315,26 +321,23 @@ def run_bwd(tp, plan, rows_pad, ht, xt, sht, ewt, w2t, b2t, gt, interpret=False)
         functools.partial(_dhdx_kernel, tp, plan),
         grid=grid,
         in_specs=[
-            edge_spec(H), edge_spec(din), edge_spec(4), edge_spec(1),
-            fixed_spec((rows_pad, H)), fixed_spec((rows_pad, 1)), edge_spec(dout),
+            edge_spec(Ha), edge_spec(din), edge_spec(4), edge_spec(1),
+            fixed_spec((rows_pad, Ha)), edge_spec(dout),
         ],
-        out_specs=[edge_spec(H), edge_spec(din)],
+        out_specs=[edge_spec(Ha), edge_spec(din)],
         out_shape=[
-            jax.ShapeDtypeStruct((H, E), jnp.float32),
+            jax.ShapeDtypeStruct((Ha, E), jnp.float32),
             jax.ShapeDtypeStruct((din, E), jnp.float32),
         ],
         interpret=interpret,
-    )(ht, xt, sht, ewt, w2t, b2t, gt)
+    )(ht, xt, sht, ewt, w2a, gt)
 
-    dw2t, db2t = pl.pallas_call(
+    dw2a = pl.pallas_call(
         functools.partial(_dw_kernel, tp, plan),
         grid=grid,
-        in_specs=[edge_spec(H), edge_spec(din), edge_spec(4), edge_spec(1), edge_spec(dout)],
-        out_specs=[fixed_spec((rows_pad, H)), fixed_spec((rows_pad, 1))],
-        out_shape=[
-            jax.ShapeDtypeStruct((rows_pad, H), jnp.float32),
-            jax.ShapeDtypeStruct((rows_pad, 1), jnp.float32),
-        ],
+        in_specs=[edge_spec(Ha), edge_spec(din), edge_spec(4), edge_spec(1), edge_spec(dout)],
+        out_specs=fixed_spec((rows_pad, Ha)),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, Ha), jnp.float32),
         interpret=interpret,
     )(ht, xt, sht, ewt, gt)
-    return dh, dx, dw2t, db2t
+    return dh, dx, dw2a
