@@ -8,8 +8,9 @@ complex/chain; plus the legacy precomputed-.pt loading path
 Availability tiers (this image has no fair-esm and no network egress):
 1. precomputed embeddings file (.pt / .npz keyed by complex name) — always
    supported;
-2. a locally cached HuggingFace ``facebook/esm2_t33_650M_UR50D`` via
-   transformers, if present on disk;
+2. a locally cached HuggingFace ``facebook/esm2_t33_650M_UR50D`` checkpoint:
+   run through the TPU-native flax port (esm_flax.py) when JAX has an
+   accelerator, else through torch-CPU;
 3. none — the model runs without LM embeddings (esm_embeddings_dim=0), which
    is a supported reference configuration (lm_embedding_type=None).
 """
@@ -80,8 +81,44 @@ def load_precomputed(path: str) -> dict[str, list[np.ndarray]]:
     return {n: [a for _, a in sorted(v)] for n, v in out.items()}
 
 
+class FlaxESMEmbedder:
+    """TPU-native ESM2 embedder: torch checkpoint converted once to the flax
+    port (esm_flax.py), then jitted per length bucket on the default JAX
+    device.  Numerically pinned to the torch tier by tests/test_esm_flax.py."""
+
+    def __init__(self, model_name: str = _MODEL_NAME):
+        import jax
+
+        from transformers import AutoModel
+
+        from . import esm_flax
+
+        torch_model = AutoModel.from_pretrained(model_name)
+        self.cfg, self.params = esm_flax.convert_torch_esm(torch_model)
+        del torch_model
+        self._esm_flax = esm_flax
+        self._apply = jax.jit(esm_flax.ESM2(self.cfg).apply)
+
+    def embed_chains(self, sequences: list[str], batch_tokens: int = 4096):
+        import numpy as np
+
+        ef = self._esm_flax
+        out = [None] * len(sequences)
+        todo = [(i, s) for i, s in enumerate(sequences) if s]
+        for i, s in enumerate(sequences):
+            if not s:
+                out[i] = np.zeros((0, self.cfg.hidden_size), np.float32)
+        for i, s in todo:
+            # bucket lengths to multiples of 64 to bound recompiles
+            L = (len(s) + 63) // 64 * 64
+            toks, mask = ef.tokenize([s], max_len=L)
+            h = self._apply({"params": self.params}, toks, mask)
+            out[i] = np.asarray(h[0, 1 : 1 + len(s)], np.float32)
+        return out
+
+
 class ESMEmbedder:
-    """transformers-backed ESM2 embedder (tier 2)."""
+    """transformers-backed torch ESM2 embedder (tier 2, CPU)."""
 
     def __init__(self, model_name: str = _MODEL_NAME, device: str = "cpu"):
         from transformers import AutoModel, AutoTokenizer
@@ -106,6 +143,19 @@ class ESMEmbedder:
         return out
 
 
+def _make_embedder():
+    """Flax (on-device) embedder when an accelerator backs JAX, else the
+    torch-CPU tier (faster than jax-CPU for a one-off preprocessing pass)."""
+    try:
+        import jax
+
+        if jax.devices()[0].platform != "cpu":
+            return FlaxESMEmbedder()
+    except Exception:
+        pass
+    return ESMEmbedder()
+
+
 def esm_available() -> bool:
     try:
         from transformers import AutoTokenizer
@@ -126,7 +176,7 @@ def embeddings_for_complexes(
         table = load_precomputed(precomputed_path)
         return {n: table[n] for n in names if n in table}
     if esm_available():
-        emb = ESMEmbedder()
+        emb = _make_embedder()
         out = {}
         for name, path in zip(names, protein_paths):
             seqs = get_chain_sequences(parse_pdb(path))
