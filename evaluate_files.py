@@ -39,6 +39,10 @@ def get_parser():
     p.add_argument("--max_autos", type=int, default=256,
                    help="cap on ligand automorphisms for symmetry RMSD")
     p.add_argument("--out_json", type=str, default=None)
+    p.add_argument("--names_no_rec_overlap", type=str, default=None,
+                   help="txt of complex names without receptor overlap with "
+                        "the training set; adds a no_overlap_* metric slice "
+                        "(reference evaluate_files.py:257-280)")
     return p
 
 
@@ -105,35 +109,45 @@ def main():
             elements = [a.element for a in pred_rec.get_atoms()]
             pred_lig = sdfio.read_molecule(poses[0][2], remove_hs=True)
             if pred_lig is not None:
-                clash_counts_top1.append(
-                    ev.rec_lig_clashes(pred_atoms, elements, pred_lig.coords,
-                                       pred_lig.symbols)
-                )
+                clash_counts_top1.append((len(names) - 1, ev.rec_lig_clashes(
+                    pred_atoms, elements, pred_lig.coords, pred_lig.symbols
+                )))
             if args.flexible_sidechains:
                 true_rec = parse_pdb(str(row["experimental_protein"]))
                 true_rec.remove_hydrogens()
                 ta = true_rec.atom_coords()
                 if len(ta) == len(pred_atoms):
-                    sc_rmsds_top1.append(ev.rmsd(pred_atoms, ta))
+                    sc_rmsds_top1.append((len(names) - 1, ev.rmsd(pred_atoms, ta)))
 
-    summary = ev.summarize_rmsds(per_complex_rmsds)
-    top1_cent = np.asarray([c[0] for c in per_complex_centroid if len(c)])
-    summary.update(
-        {
-            "n_complexes": len(names),
+    def summarize(keep):
+        """Metric block over the complexes whose index passes ``keep``."""
+        rmsds = [r for i, r in enumerate(per_complex_rmsds) if keep(i)]
+        cents = [c for i, c in enumerate(per_complex_centroid) if keep(i)]
+        s = ev.summarize_rmsds(rmsds)
+        top1_cent = np.asarray([c[0] for c in cents if len(c)])
+        s.update({
+            "n_complexes": len(rmsds),
             "top1_centroid_below_2": float(np.mean(top1_cent < 2.0)) if len(top1_cent) else 0.0,
             "top1_centroid_below_5": float(np.mean(top1_cent < 5.0)) if len(top1_cent) else 0.0,
-        }
-    )
-    if clash_counts_top1:
-        cc = np.asarray(clash_counts_top1)
-        summary["top1_steric_clash_fraction"] = float(np.mean(cc > 0))
-        summary["top1_mean_clashes"] = float(cc.mean())
-    if sc_rmsds_top1:
-        sc = np.asarray(sc_rmsds_top1)
-        summary["top1_sc_rmsd_below_025"] = float(np.mean(sc < 0.25))
-        summary["top1_sc_rmsd_below_05"] = float(np.mean(sc < 0.5))
-        summary["top1_sc_rmsd_below_1"] = float(np.mean(sc < 1.0))
+        })
+        cc = np.asarray([v for i, v in clash_counts_top1 if keep(i)])
+        if len(cc):
+            s["top1_steric_clash_fraction"] = float(np.mean(cc > 0))
+            s["top1_mean_clashes"] = float(cc.mean())
+        sc = np.asarray([v for i, v in sc_rmsds_top1 if keep(i)])
+        if len(sc):
+            s["top1_sc_rmsd_below_025"] = float(np.mean(sc < 0.25))
+            s["top1_sc_rmsd_below_05"] = float(np.mean(sc < 0.5))
+            s["top1_sc_rmsd_below_1"] = float(np.mean(sc < 1.0))
+        return s
+
+    summary = summarize(lambda i: True)
+    if args.names_no_rec_overlap:
+        from diffdock_pocket_tpu.utils.misc import read_strings_from_txt
+
+        keep_names = set(read_strings_from_txt(args.names_no_rec_overlap))
+        no_overlap = summarize(lambda i: names[i] in keep_names)
+        summary.update({f"no_overlap_{k}": v for k, v in no_overlap.items()})
 
     np.save(os.path.join(args.results_path, "rmsds.npy"),
             np.asarray(per_complex_rmsds, dtype=object), allow_pickle=True)

@@ -43,7 +43,7 @@ def main():
                 "ESM2 weights not available locally; use --out_fasta with an "
                 "external ESM pipeline instead"
             )
-        embedder = esmmod.ESMEmbedder()
+        embedder = esmmod._make_embedder()
         table = {}
         for _, row in df.iterrows():
             name = row["complex_name"]
