@@ -28,11 +28,13 @@ Supports the lmax=1 FasterTensorProduct decomposition — the published model
 path.  interpret=True runs on CPU for tests.
 
 Measured balance (scripts/profile_kernel_ablation.py, big-model late layer,
-768 tiles on the bench chip): full kernel 7.6 us/tile, weight matmuls alone
-7.3 us/tile (MXU, ~73 TFLOP/s effective at K=184), TP apply alone
+98k edges on the bench chip, v5e): full kernel 7.45 us/tile, weight matmuls
+alone 7.5 us/tile (MXU, ~73 TFLOP/s effective at K=184), TP apply alone
 5.6 us/tile (VPU) — the two units overlap almost completely, so the kernel
 is jointly saturated; further gains need fewer FLOPs (smaller edge sets),
-not better scheduling.
+not better scheduling.  TILE=256 measured 11% slower end-to-end (same
+script, DDP_TPU_TILE=256): the MXU dot gains nothing past N=128 and the
+larger per-edge VMEM blocks hurt pipelining — 128 is the right tile.
 """
 from __future__ import annotations
 
@@ -48,7 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .irreps import Irreps
 from .tensor_product import FasterTensorProduct
 
-TILE = 128
+import os as _os
+
+# edges per kernel tile (lane-dim block).  128 = one lane tile; 256 halves
+# grid bookkeeping and amortizes per-op VPU overheads at 2x the VMEM for
+# per-edge blocks (fits since the bias buffer fold).  Env-tunable for
+# experiments; both values are covered by the interpret-mode tests.
+TILE = int(_os.environ.get("DDP_TPU_TILE", "128"))
 SUB = 8  # sublane multiple for f32
 
 

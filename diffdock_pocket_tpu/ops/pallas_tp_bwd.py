@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .tensor_product import FasterTensorProduct
 
-TILE = 128
+from .pallas_tp import TILE  # shared edge-tile size
 _DEF = jax.lax.Precision.DEFAULT
 
 

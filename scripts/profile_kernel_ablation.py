@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from diffdock_pocket_tpu.ops.irreps import Irreps, feature_ladder
 from diffdock_pocket_tpu.ops.pallas_tp import (
-    TILE, _ceil_to, _kernel_body, _plan, _relayout_w2,
+    TILE, _aug_h, _aug_w2, _ceil_to, _kernel_body, _plan,
 )
 from diffdock_pocket_tpu.ops.tensor_product import FasterTensorProduct
 
@@ -45,14 +45,14 @@ ew = jnp.ones((E,), jnp.float32)
 w2 = jnp.asarray(rng.standard_normal((H, tp.weight_numel)) * 0.1, jnp.float32)
 b2 = jnp.zeros((tp.weight_numel,), jnp.float32)
 
-w2t, b2p = _relayout_w2(w2.astype(jnp.bfloat16), b2, tp)
-ht = h.astype(jnp.bfloat16).T
+w2a = _aug_w2(w2, b2, tp)  # [rows_pad, H+1] bf16, bias folded
+ht = _aug_h(h.astype(jnp.bfloat16).T)  # [H+1, E]
 xt = x.T
 sht = sh.T
 ewt = ew[None, :]
 
 
-def matmul_only_kernel(h_ref, x_ref, sh_ref, ew_ref, w2t_ref, b2_ref, out_ref):
+def matmul_only_kernel(h_ref, x_ref, sh_ref, ew_ref, w2t_ref, out_ref):
     h_ = h_ref[:]
     acc = jnp.zeros((dout, h_.shape[1]), jnp.float32)
     for key in tp._KEYS:
@@ -68,7 +68,7 @@ def matmul_only_kernel(h_ref, x_ref, sh_ref, ew_ref, w2t_ref, b2_ref, out_ref):
     out_ref[:] = acc
 
 
-def tp_only_kernel(h_ref, x_ref, sh_ref, ew_ref, w2t_ref, b2_ref, out_ref):
+def tp_only_kernel(h_ref, x_ref, sh_ref, ew_ref, w2t_ref, out_ref):
     # identical body to _kernel_body but type_weights returns a slice of the
     # (preloaded) W2t rows broadcast over T — no MXU dot
     class FakeDot:
@@ -164,18 +164,17 @@ def run(kernel_body, name):
         kernel_body,
         grid=(E // TILE,),
         in_specs=[
-            pl.BlockSpec((H, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H + 1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((din, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_pad, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_pad, H + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((dout, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((dout, E), jnp.float32),
     )
     f = jax.jit(lambda *a: call(*a))
-    args = (ht, xt, sht, ewt, w2t, b2p[:, None])
+    args = (ht, xt, sht, ewt, w2a)
     out = f(*args)
     float(out.sum())  # sync
     t0 = time.time()
