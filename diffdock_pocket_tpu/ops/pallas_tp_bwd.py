@@ -5,15 +5,17 @@ The backward is split into TWO kernels so each fits VMEM at big-model sizes
 (rows_pad ~ 11.5k, H = 180 -> W2t 4.1 MB bf16, dW2 8.3 MB f32 cannot be
 resident together with the per-type temporaries):
 
-- ``_dhdx_kernel``: recomputes per-type weights (W2_t^T h, MXU), forms
-  dz_t = w_t . g_t (VPU sublane reductions) and maps it through the
-  candidate adjoints to dx; dh = W2-contraction of dw (per-type MXU dots
-  folded immediately, never materializing the full dw).
+- ``_dhdx_kernel``: recomputes per-type weights (W2a^T h_aug, MXU; bias
+  folded as in the forward — see pallas_tp.py), forms dz_t = w_t . g_t
+  (VPU sublane reductions) and maps it through the candidate adjoints to
+  dx; dh = W2-contraction of dw (per-type MXU dots folded immediately,
+  never materializing the full dw).
 - ``_dw_kernel``: forms dw_t = z_t (x) g_t (VPU) and accumulates
-  dW2 += dw @ h^T and db2 += sum(dw) across the sequential TPU grid; it
-  needs neither W2 nor b2 in VMEM.
+  dW2a += dw @ h_aug^T across the sequential TPU grid; h_aug's ones row
+  makes the last dW2a column db2 for free, and the kernel needs neither
+  W2 nor a separate bias buffer in VMEM.
 
-Layout identical to the forward kernel: edges on lanes, tiles of 128,
+Layout identical to the forward kernel: edges on lanes, TILE-edge tiles,
 per-type fout sublane-padded.  sh/edge-weight cotangents are zeros (no
 gradient flows to coordinates in training).
 """

@@ -178,10 +178,16 @@ class Trainer:
             t0 = time.time()
             meter = AverageMeter(["loss", "tr_loss", "rot_loss", "tor_loss", "sc_tor_loss"])
             rng = np.random.default_rng(args.seed + epoch)
+            # collect aux as device arrays and fetch ONCE per epoch — a
+            # per-step device_get would serialize the async dispatch queue
+            # and expose full host<->device latency on every step
+            pending = []
             for g, _ in self._batches(self.train_set, rng=rng):
                 key, sub = jax.random.split(key)
                 state, aux = self.train_step(state, sub, g)
-                meter.add(jax.device_get(aux))
+                pending.append(aux)
+            for aux in jax.device_get(pending):
+                meter.add(aux)
             train_stats = meter.summary()
 
             # ---- validation loss (EMA weights) ---------------------------
@@ -190,11 +196,11 @@ class Trainer:
                 intervals=10 if args.test_sigma_intervals else 1,
             )
             eval_params = state.ema.params if args.use_ema else state.params
+            pending = []
             for g, _ in self._batches(self.val_set):
                 key, sub = jax.random.split(key)
-                aux = jax.device_get(
-                    self.eval_step(eval_params, state.batch_stats, sub, g)
-                )
+                pending.append(self.eval_step(eval_params, state.batch_stats, sub, g))
+            for aux in jax.device_get(pending):
                 t_tr = aux.pop("t_tr")
                 val_meter.add(aux, t_tr=t_tr)
             val_stats = {f"val_{k}": v for k, v in val_meter.summary().items()}
@@ -332,7 +338,12 @@ class Trainer:
                         os.path.join(self.run_dir, ema_name),
                         {"params": state.ema.params, "batch_stats": state.batch_stats},
                     )
-        ckpt.save_checkpoint(os.path.join(self.run_dir, "last_model"), state)
+        freq = getattr(self.args, "checkpoint_freq", 1) or 1
+        if (epoch + 1) % freq == 0 or epoch + 1 == self.args.n_epochs:
+            # restart checkpoint (params + optimizer + EMA); per-epoch by
+            # default like the reference — raise --checkpoint_freq when the
+            # save dominates small-epoch runs
+            ckpt.save_checkpoint(os.path.join(self.run_dir, "last_model"), state)
 
 
 def _set_lr(opt_state, lr):

@@ -71,9 +71,6 @@ def matmul_only_kernel(h_ref, x_ref, sh_ref, ew_ref, w2t_ref, out_ref):
 def tp_only_kernel(h_ref, x_ref, sh_ref, ew_ref, w2t_ref, out_ref):
     # identical body to _kernel_body but type_weights returns a slice of the
     # (preloaded) W2t rows broadcast over T — no MXU dot
-    class FakeDot:
-        pass
-
     im = tp.in_muls
     n0e, n1o, n1e, n0o = im["0e"], im["1o"], im["1e"], im["0o"]
     h_ = h_ref[:]

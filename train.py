@@ -118,6 +118,8 @@ def parse_train_args(argv=None):
     p.add_argument("--sc_tor_weight", type=float, default=0.33)
     p.add_argument("--test_sigma_intervals", action="store_true")
     p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--checkpoint_freq", type=int, default=1,
+                   help="epochs between last_model (restart) checkpoints")
     p.add_argument("--num_inference_complexes", type=int, default=100)
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--inference_samples", type=int, default=4)
