@@ -213,16 +213,13 @@ class Trainer:
                 inf = self.inference_epoch(eval_params, state.batch_stats, sub)
                 metrics.update({f"valinf_{k}": v for k, v in inf.items()})
 
-            lr = self.scheduler.step(
-                metrics.get(
-                    args.main_metric.replace("valinf_", "valinf_"),
-                    metrics.get("val_loss", 0.0),
-                ),
-                args.lr,
+            lr, stepped = step_scheduler(
+                self.scheduler, metrics, args.main_metric, args.lr,
+                getattr(self, "_lr", args.lr),
             )
-            state = state._replace(
-                opt_state=_set_lr(state.opt_state, lr)
-            )
+            if stepped:
+                state = state._replace(opt_state=_set_lr(state.opt_state, lr))
+                self._lr = lr
             metrics["lr"] = lr
             logger.info(
                 "epoch %d (%.1fs): %s", epoch, time.time() - t0,
@@ -267,8 +264,11 @@ class Trainer:
             n += 1
             nl = len(data.raw["lig_pos"])
             true = data.raw["lig_orig_pos"]
+            # symmetry-corrected RMSD with plain fallback (the checkpoint
+            # criterion; matches the offline harness, evaluate_files.py —
+            # the reference's spyrmsd wrapper is utils/utils.py:116-130)
             best = min(
-                evaluation.rmsd(result.lig_pos[s][:nl], true)
+                _rmsd_sym(data.ligand, result.lig_pos[s][:nl], true)
                 for s in range(result.lig_pos.shape[0])
             )
             rmsds.append(best)
@@ -344,6 +344,25 @@ class Trainer:
             # default like the reference — raise --checkpoint_freq when the
             # save dominates small-epoch runs
             ckpt.save_checkpoint(os.path.join(self.run_dir, "last_model"), state)
+
+
+def step_scheduler(scheduler, metrics: dict, main_metric: str, base_lr: float,
+                   current_lr: float):
+    """Step the plateau scheduler only on epochs where the main metric was
+    actually computed (reference train.py:131-134 steps on the inference
+    metric; a val-loss fallback on non-inference epochs would pollute the
+    max-mode best tracker with raw losses).  Returns (lr, stepped)."""
+    if main_metric in metrics:
+        return scheduler.step(metrics[main_metric], base_lr), True
+    return current_lr, False
+
+
+def _rmsd_sym(ligand, pred, true) -> float:
+    """Symmetry-corrected RMSD, falling back to plain RMSD on failure."""
+    try:
+        return evaluation.symmetry_rmsd(ligand, pred, true)
+    except Exception:
+        return evaluation.rmsd(pred, true)
 
 
 def _set_lr(opt_state, lr):

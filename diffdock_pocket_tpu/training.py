@@ -159,9 +159,18 @@ def loss_function(
     rot_base = jnp.mean((targets.rot_score / rot_norm) ** 2, axis=1)
 
     def _masked_bond_loss(pred, target, mask, norm2):
+        # apply_mean=True: mean over ALL real bonds in the batch (reference
+        # utils/training.py:48 `tor_loss.mean()` — complexes contribute
+        # proportionally to their bond count).  apply_mean=False: per-complex
+        # masked means (reference's index_add unpooled eval path, :50-58).
         per_bond = (pred - target) ** 2 / norm2
         base = target**2 / norm2
         m = mask.astype(pred.dtype)
+        if apply_mean:
+            total = jnp.maximum(m.sum(), 1e-4)
+            l = jnp.broadcast_to((per_bond * m).sum() / total, tr_loss.shape)
+            b = jnp.broadcast_to((base * m).sum() / total, tr_loss.shape)
+            return l, b
         cnt = jnp.maximum(m.sum(axis=1), 1e-4)
         return (per_bond * m).sum(axis=1) / cnt, (base * m).sum(axis=1) / cnt
 

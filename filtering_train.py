@@ -35,12 +35,12 @@ def get_parser():
     p.add_argument("--cache_path", type=str, default=".cache/data_filtering")
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--esm_embeddings_path", type=str, default=None)
-    p.add_argument("--pocket_reduction", action="store_true", default=True)
+    p.add_argument("--pocket_reduction", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--pocket_buffer", type=float, default=10.0)
-    p.add_argument("--remove_hs", action="store_true", default=True)
+    p.add_argument("--remove_hs", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--c_alpha_max_neighbors", type=int, default=24)
     p.add_argument("--receptor_radius", type=float, default=15.0)
-    p.add_argument("--all_atoms", action="store_true", default=True)
+    p.add_argument("--all_atoms", action=argparse.BooleanOptionalAction, default=True)
     # generation
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--samples_per_complex", type=int, default=7)
@@ -70,8 +70,8 @@ def get_parser():
     p.add_argument("--num_conv_layers", type=int, default=5)
     p.add_argument("--sh_lmax", type=int, default=1)
     p.add_argument("--dropout", type=float, default=0.1)
-    p.add_argument("--dynamic_max_cross", action="store_true", default=True)
-    p.add_argument("--scale_by_sigma", action="store_true", default=True)
+    p.add_argument("--dynamic_max_cross", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--scale_by_sigma", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--confidence_no_batchnorm", action="store_true")
     p.add_argument("--confidence_dropout", type=float, default=0.0)
     p.add_argument("--transfer_weights", action="store_true")

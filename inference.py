@@ -46,8 +46,10 @@ def get_parser():
     p.add_argument("--pocket_center_x", type=float, default=None)
     p.add_argument("--pocket_center_y", type=float, default=None)
     p.add_argument("--pocket_center_z", type=float, default=None)
-    p.add_argument("--keep_local_structures", action="store_true", default=True)
-    p.add_argument("--keep_input_protein", action="store_true")
+    p.add_argument("--keep_local_structures", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="keep the ligand input's 3D local structure instead "
+                        "of regenerating conformers (reference inference.py:86)")
     # models
     p.add_argument("--score_model_dir", type=str, default=None)
     p.add_argument("--score_ckpt", type=str, default="best_ema_inference_epoch_model")
@@ -64,7 +66,8 @@ def get_parser():
                         "over all visible devices. Disables trajectories.")
     p.add_argument("--inference_steps", type=int, default=30)
     p.add_argument("--actual_steps", type=int, default=None)
-    p.add_argument("--no_final_step_noise", action="store_true", default=True)
+    p.add_argument("--no_final_step_noise", action=argparse.BooleanOptionalAction,
+                   default=False)
     p.add_argument("--ode", action="store_true")
     p.add_argument("--no_random", action="store_true")
     p.add_argument("--sigma_schedule", type=str, default="expbeta")

@@ -100,3 +100,73 @@ def test_ema_update_math():
     # first update: decay = min(0.999, 2/11)
     expected = 2.0 / 11.0
     np.testing.assert_allclose(np.asarray(st.params["w"]), expected, rtol=1e-6)
+
+
+def test_loss_apply_mean_weights_by_bond_count(batch):
+    """apply_mean=True torsion/sc losses are means over ALL real bonds in the
+    batch (reference utils/training.py:48 tor_loss.mean()), so complexes with
+    more rotatable bonds carry proportionally more weight."""
+    from diffdock_pocket_tpu import tables
+    from diffdock_pocket_tpu.training import NoiseTargets, loss_function
+
+    sigma = SigmaConfig()
+    so3, torus = tables.so3_tables(), tables.torus_tables()
+    B, T = batch.tor_bond_mask.shape
+    SC = batch.sc_bond_mask.shape[1]
+    rng = np.random.default_rng(0)
+
+    # unequal real-bond counts: complex 0 keeps 1 bond, complex 1 keeps all
+    tor_mask = np.zeros((B, T), dtype=bool)
+    tor_mask[0, 0] = True
+    tor_mask[1, :] = np.asarray(batch.tor_bond_mask[1])
+    g = batch.replace(tor_bond_mask=jnp.asarray(tor_mask))
+
+    t = {k: jnp.asarray([0.3, 0.7]) for k in ("tr", "rot", "tor", "sc_tor")}
+    preds = (
+        jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(B, T)), jnp.float32),
+        jnp.asarray(rng.normal(size=(B, SC)), jnp.float32),
+    )
+    targets = NoiseTargets(
+        tr_score=jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+        rot_score=jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+        tor_score=jnp.asarray(rng.normal(size=(B, T)), jnp.float32),
+        sc_tor_score=jnp.asarray(rng.normal(size=(B, SC)), jnp.float32),
+    )
+    _, aux = loss_function(preds, targets, g, t, sigma, so3, torus,
+                           apply_mean=True)
+
+    _, _, s_tor, _ = sigma.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
+    norm2 = np.asarray(tables.torus_tables().score_norm(s_tor))[:, None]
+    per_bond = (np.asarray(preds[2]) - np.asarray(targets.tor_score)) ** 2 / norm2
+    expected = per_bond[tor_mask].sum() / tor_mask.sum()
+    np.testing.assert_allclose(float(aux["tor_loss"]), expected, rtol=1e-5)
+
+    # per-complex (apply_mean=False) path keeps the masked per-complex means
+    _, aux_u = loss_function(preds, targets, g, t, sigma, so3, torus,
+                             apply_mean=False)
+    exp0 = per_bond[0][tor_mask[0]].mean()
+    np.testing.assert_allclose(float(np.asarray(aux_u["tor_loss"])[0]), exp0, rtol=1e-5)
+
+
+def test_scheduler_untouched_on_non_inference_epochs():
+    """Plateau scheduler steps only when the main metric exists (reference
+    train.py:131-134); val_loss epochs must not pollute the best tracker."""
+    from diffdock_pocket_tpu.trainer import PlateauScheduler, step_scheduler
+
+    sched = PlateauScheduler(mode="max", patience=2)
+    lr = 1e-3
+    # inference epoch: metric present -> stepped
+    lr, stepped = step_scheduler(sched, {"valinf_rmsds_lt2": 0.5}, "valinf_rmsds_lt2", 1e-3, lr)
+    assert stepped and sched.best == 0.5
+    state = (sched.best, sched.bad_epochs, sched.scale)
+    # non-inference epochs: only val_loss present -> untouched
+    for _ in range(10):
+        lr2, stepped = step_scheduler(sched, {"val_loss": 0.01}, "valinf_rmsds_lt2", 1e-3, lr)
+        assert not stepped and lr2 == lr
+    assert (sched.best, sched.bad_epochs, sched.scale) == state
+    # worse metric on later inference epochs -> patience then decay
+    for _ in range(3):
+        lr, _ = step_scheduler(sched, {"valinf_rmsds_lt2": 0.4}, "valinf_rmsds_lt2", 1e-3, lr)
+    assert sched.scale < 1.0 and lr < 1e-3

@@ -48,18 +48,18 @@ def parse_train_args(argv=None):
     p.add_argument("--matching_maxiter", type=int, default=15)
     p.add_argument("--num_conformers", type=int, default=1)
     p.add_argument("--max_lig_size", type=int, default=None)
-    p.add_argument("--remove_hs", action="store_true", default=True)
+    p.add_argument("--remove_hs", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--multiplicity", type=int, default=1)
-    p.add_argument("--pocket_reduction", action="store_true", default=True)
+    p.add_argument("--pocket_reduction", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--pocket_buffer", type=float, default=10.0)
     p.add_argument("--pocket_cutoff", type=float, default=5.0)
-    p.add_argument("--flexible_sidechains", action="store_true", default=True)
+    p.add_argument("--flexible_sidechains", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--flexdist", type=float, default=3.5)
     p.add_argument("--flexdist_distance_metric", type=str, default="prism")
     p.add_argument("--conformer_match_sidechains", action="store_true")
     p.add_argument("--conformer_match_score", type=str, default="exp")
     p.add_argument("--match_max_rmsd", type=float, default=2.0)
-    p.add_argument("--use_original_conformer_fallback", action="store_true", default=True)
+    p.add_argument("--use_original_conformer_fallback", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--use_original_conformer", action="store_true")
     p.add_argument("--esm_embeddings_path", type=str, default=None)
     # diffusion
@@ -81,7 +81,7 @@ def parse_train_args(argv=None):
     p.add_argument("--sc_tor_alpha", type=float, default=1)
     p.add_argument("--sc_tor_beta", type=float, default=1)
     # model
-    p.add_argument("--all_atoms", action="store_true", default=True)
+    p.add_argument("--all_atoms", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--ns", type=int, default=60)
     p.add_argument("--nv", type=int, default=10)
     p.add_argument("--num_conv_layers", type=int, default=6)
@@ -90,14 +90,14 @@ def parse_train_args(argv=None):
     p.add_argument("--sigma_embed_dim", type=int, default=64)
     p.add_argument("--distance_embed_dim", type=int, default=64)
     p.add_argument("--cross_distance_embed_dim", type=int, default=64)
-    p.add_argument("--dynamic_max_cross", action="store_true", default=True)
+    p.add_argument("--dynamic_max_cross", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--cross_max_distance", type=float, default=80)
     p.add_argument("--lig_max_radius", type=float, default=5)
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--no_batch_norm", action="store_true")
     p.add_argument("--embedding_type", type=str, default="sinusoidal")
     p.add_argument("--embedding_scale", type=float, default=10000)
-    p.add_argument("--scale_by_sigma", action="store_true", default=True)
+    p.add_argument("--scale_by_sigma", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--smooth_edges", action="store_true")
     p.add_argument("--odd_parity", action="store_true")
     p.add_argument("--separate_noise_schedule", action="store_true")
@@ -110,7 +110,7 @@ def parse_train_args(argv=None):
     p.add_argument("--adamw", action="store_true")
     p.add_argument("--scheduler", type=str, default="plateau")
     p.add_argument("--scheduler_patience", type=int, default=30)
-    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--use_ema", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--ema_rate", type=float, default=0.999)
     p.add_argument("--tr_weight", type=float, default=0.33)
     p.add_argument("--rot_weight", type=float, default=0.33)
