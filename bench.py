@@ -29,7 +29,7 @@ def main():
     from diffdock_pocket_tpu.data import featurize
     from diffdock_pocket_tpu.models.config import BIG_SCORE_CONFIG
 
-    example = "/root/reference/example_data"
+    example = os.path.join(os.path.dirname(os.path.abspath(__file__)), "example_data")
     protein = os.path.join(example, "3dpf_protein.pdb")
     ligand = os.path.join(example, "3dpf_ligand.sdf")
 

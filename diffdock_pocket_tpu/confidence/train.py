@@ -141,6 +141,7 @@ class ConfidenceTrainer:
         seed: int = 0,
         confidence_loss_weight: float = 1.0,
         affinity_loss_weight: float = 1.0,
+        data_cfg=None,
     ):
         self.cfg = cfg
         self.train_data = train_data
@@ -152,7 +153,7 @@ class ConfidenceTrainer:
         self.main_metric_goal = main_metric_goal
         self.seed = seed
         os.makedirs(run_dir, exist_ok=True)
-        ckpt.save_yaml_config(run_dir, cfg)
+        ckpt.save_yaml_config(run_dir, cfg, data_cfg=data_cfg)
         self.model = get_model(cfg)
         self.optimizer = optax.adam(lr)
         aff = bool(getattr(cfg, "affinity_prediction", False)) and cfg.parallel == 1

@@ -151,9 +151,19 @@ class DockingDataset:
         self.esm_embeddings = esm_embeddings or {}
         self.num_workers = num_workers
         self.require_ligand = require_ligand
+        # embeddings change the featurized output (rec_esm width), so they
+        # are part of the cache key (the reference encodes esm_embeddings
+        # into the cache dir name, pdbbind.py:229)
+        esm_dim = 0
+        if self.esm_embeddings:
+            chains = next(iter(self.esm_embeddings.values()))
+            if chains:
+                esm_dim = int(chains[0].shape[-1])
+        self.esm_dim = esm_dim
         if cache_dir is not None:
             tag = hashlib.sha1(
-                (repr(sorted(asdict(cfg).items())) + f"v{self.CACHE_VERSION}").encode()
+                (repr(sorted(asdict(cfg).items()))
+                 + f"v{self.CACHE_VERSION}_esm{esm_dim}").encode()
             ).hexdigest()[:16]
             self.cache_dir = os.path.join(cache_dir, f"graphs_{tag}")
             os.makedirs(self.cache_dir, exist_ok=True)

@@ -104,6 +104,16 @@ def build_complex(
     lig = ligand.remove_hydrogens() if cfg.remove_hs else ligand
     rmsd_matching = 0.0
     extra_conformers: list[np.ndarray] = []
+    # the input (crystal) ligand geometry: ground truth for lig_orig_pos and
+    # the anchor for pocket/receptor extraction even when the working
+    # conformer is matched or regenerated below
+    orig_coords = lig.coords.copy()
+    if not cfg.keep_local_structures and not cfg.matching:
+        # inference path: discard the input's local structure and start from
+        # a freshly generated conformer (reference pdbbind.py:441-448)
+        from .conformer import generate_conformer
+
+        lig = generate_conformer(lig, rng=rng)
     if cfg.matching and not cfg.keep_local_structures:
         from .conformer import conformer_match_ligand
 
@@ -148,13 +158,13 @@ def build_complex(
     )
     if pocket_center_override is not None:
         pocket_center = np.asarray(pocket_center_override, np.float32)
-        mol_center = lig.coords.mean(0)
+        mol_center = orig_coords.mean(0)
         pocket_radius = float(
-            np.linalg.norm(lig.coords - mol_center[None], axis=1).max()
+            np.linalg.norm(orig_coords - mol_center[None], axis=1).max()
         )
     else:
         pocket_center, pocket_radius = R.calculate_binding_pocket(
-            ca_all, lig.coords, 0.0, cfg.pocket_cutoff
+            ca_all, orig_coords, 0.0, cfg.pocket_cutoff
         )
     pocket_radius_buffered = pocket_radius + cfg.pocket_buffer
 
@@ -162,7 +172,7 @@ def build_complex(
     if cfg.pocket_reduction or cfg.conformer_match_sidechains:
         selector = R.make_pocket_selector(
             cfg.pocket_reduction_mode, pocket_center, pocket_radius_buffered,
-            lig.coords, cfg.all_atoms,
+            orig_coords, cfg.all_atoms,
         )
 
     # --- side-chain conformer matching (apo -> holo, training) -------------
@@ -170,12 +180,12 @@ def build_complex(
         from .sidechain_conformer import conformer_match_sidechains
 
         rec_model, match_rmsd = conformer_match_sidechains(
-            computational_protein, protein, selector, lig.coords, cfg, rng=rng
+            computational_protein, protein, selector, orig_coords, cfg, rng=rng
         )
 
     # --- receptor arrays ---------------------------------------------------
     rec = R.extract_receptor(
-        rec_model, lig.coords,
+        rec_model, orig_coords,
         chain_cutoff=cfg.chain_cutoff,
         pocket_selector=selector if cfg.pocket_reduction else None,
         lm_embedding_chains=lm_embedding_chains,
@@ -204,7 +214,7 @@ def build_complex(
             )
         else:
             accept = R.make_flexdist_func(
-                rec.ca_pos, lig.coords, cfg.flexdist,
+                rec.ca_pos, orig_coords, cfg.flexdist,
                 cfg.flexdist_distance_metric, cfg.pocket_cutoff,
             )
             sc_idx, sc_mask, sc_res, flex_ids = R.sidechain_rotation_masks(rec, accept)
@@ -222,7 +232,7 @@ def build_complex(
         center = rec.ca_pos.mean(axis=0)
     raw = {
         "lig_pos": lig.coords - center,
-        "lig_orig_pos": lig.coords - center,
+        "lig_orig_pos": orig_coords - center,
         "lig_feat": lig_feat,
         "lig_bond_index": bond_index,
         "lig_bond_attr": bond_attr,

@@ -117,15 +117,28 @@ class DockingPipeline:
             self.sampler_cfg, self.schedule_next,
         )
 
-    def _run_confidence(self, g, conf_variables):
+    def _run_confidence(self, g, conf_variables, filtering_graph=None):
         def conf_fn(gr, t):
             return self.confidence_model.apply(conf_variables, gr, t)
 
-        return sampling.run_confidence(g, conf_fn)
+        return sampling.run_confidence(g, conf_fn, filtering_graph=filtering_graph)
 
     # ------------------------------------------------------------------
-    def dock(self, data: ComplexData, key: jax.Array) -> DockingResult:
+    def dock(self, data: ComplexData, key: jax.Array,
+             filtering_data: Optional[ComplexData] = None) -> DockingResult:
+        """``filtering_data`` carries the same complex featurized with the
+        confidence model's graph parameters when they differ from the score
+        model's (reference inference.py:396-429 second PDBBind +
+        sampling.py:268-274 ligand-position transfer)."""
         g1 = graphlib.from_raw(data.raw, buckets=self.buckets)
+        gf1 = None
+        if filtering_data is not None and self._conf_jit is not None:
+            gf1 = graphlib.from_raw(filtering_data.raw, buckets=self.buckets)
+            if gf1.lig_pos.shape != g1.lig_pos.shape:
+                raise ValueError(
+                    "filtering graph ligand capacity differs from the score "
+                    f"graph ({gf1.lig_pos.shape} vs {g1.lig_pos.shape})"
+                )
         S = self.samples_per_complex
         bs = min(self.batch_size, S)
         n_chunks = math.ceil(S / bs)
@@ -136,7 +149,10 @@ class DockingPipeline:
             g = graphlib.replicate(g1, bs)
             g_final, traj = self._run_jit(keys[c], g, self.variables)
             if self._conf_jit is not None:
-                confs.append(np.asarray(self._conf_jit(g_final, self.confidence_variables)))
+                gf = graphlib.replicate(gf1, bs) if gf1 is not None else None
+                confs.append(np.asarray(
+                    self._conf_jit(g_final, self.confidence_variables, gf)
+                ))
             lig_out.append(np.asarray(g_final.lig_pos))
             atom_out.append(np.asarray(g_final.atom_pos))
             if traj is not None:
@@ -172,6 +188,7 @@ class DockingPipeline:
         datas: list[ComplexData],
         key: jax.Array,
         mesh: Optional[jax.sharding.Mesh] = None,
+        filtering_datas: Optional[list[ComplexData]] = None,
     ) -> list[DockingResult]:
         """Dock several complexes, batching SAMPLES ACROSS COMPLEXES.
 
@@ -192,6 +209,12 @@ class DockingPipeline:
 
         S = self.samples_per_complex
         graphs = [graphlib.from_raw(d.raw, buckets=self.buckets) for d in datas]
+        fgraphs = None
+        if filtering_datas is not None and self._conf_jit is not None:
+            fgraphs = [
+                graphlib.from_raw(d.raw, buckets=self.buckets)
+                for d in filtering_datas
+            ]
         groups = defaultdict(list)
         for ci, g1 in enumerate(graphs):
             sig = tuple(
@@ -225,8 +248,13 @@ class DockingPipeline:
                     g = jax.device_put(g, sharding)
                 key, sub = jax.random.split(key)
                 g_final, _ = self._run_jit(sub, g, self.variables)
+                gf = None
+                if fgraphs is not None:
+                    gf = graphlib.stack([fgraphs[ci] for ci, _ in chunk])
+                    if mesh is not None:
+                        gf = jax.device_put(gf, sharding)
                 conf = (
-                    np.asarray(self._conf_jit(g_final, self.confidence_variables))
+                    np.asarray(self._conf_jit(g_final, self.confidence_variables, gf))
                     if self._conf_jit is not None
                     else None
                 )

@@ -90,7 +90,8 @@ class PlateauScheduler:
 
 
 class Trainer:
-    def __init__(self, args, model_cfg, noise_cfg, loss_weights, train_set, val_set):
+    def __init__(self, args, model_cfg, noise_cfg, loss_weights, train_set, val_set,
+                 data_cfg=None):
         self.args = args
         self.model_cfg = model_cfg
         self.noise_cfg = noise_cfg
@@ -99,7 +100,9 @@ class Trainer:
         self.val_set = val_set
         self.run_dir = os.path.join(args.log_dir, args.run_name)
         os.makedirs(self.run_dir, exist_ok=True)
-        ckpt.save_yaml_config(self.run_dir, model_cfg)
+        if data_cfg is None:
+            data_cfg = getattr(train_set, "cfg", None)
+        ckpt.save_yaml_config(self.run_dir, model_cfg, data_cfg=data_cfg)
 
         self.model = get_model(model_cfg)
         base_opt = optax.adamw if args.adamw else optax.adam
@@ -165,6 +168,13 @@ class Trainer:
             break
         if first is None:
             raise RuntimeError("empty training set")
+        esm_width = int(first.rec_esm.shape[-1])
+        if esm_width != self.model_cfg.esm_embeddings_dim:
+            raise ValueError(
+                f"graph rec_esm width ({esm_width}) does not match "
+                f"model esm_embeddings_dim ({self.model_cfg.esm_embeddings_dim}); "
+                "pass matching --esm_embeddings_path / model config"
+            )
         variables = init_random_variables(self.model_cfg, first, seed=args.seed)
         state = training.create_train_state(variables, self.optimizer)
 

@@ -16,9 +16,17 @@ import yaml
 from ..models.config import ModelConfig
 
 
-def save_yaml_config(run_dir: str, cfg: ModelConfig, extra: Optional[dict] = None):
+def save_yaml_config(run_dir: str, cfg: ModelConfig, data_cfg=None,
+                     extra: Optional[dict] = None):
+    """Persist the model config (+ the training featurization config under
+    the ``data_config`` key) so inference can reconstruct the exact dataset
+    parameters from the run dir (reference inference.py:332-393)."""
     os.makedirs(run_dir, exist_ok=True)
     d = cfg.to_dict()
+    if data_cfg is not None:
+        import dataclasses
+
+        d["data_config"] = dataclasses.asdict(data_cfg)
     if extra:
         d.update(extra)
     with open(os.path.join(run_dir, "model_parameters.yml"), "w") as fh:
@@ -29,6 +37,22 @@ def load_yaml_config(run_dir: str) -> ModelConfig:
     with open(os.path.join(run_dir, "model_parameters.yml")) as fh:
         d = yaml.safe_load(fh)
     return ModelConfig.from_dict(d)
+
+
+def load_data_config(run_dir: str):
+    """The featurization config stored by the trainer, or None for run dirs
+    predating the data_config field (callers fall back to defaults)."""
+    import dataclasses
+
+    from ..data.featurize import DataConfig
+
+    with open(os.path.join(run_dir, "model_parameters.yml")) as fh:
+        d = yaml.safe_load(fh)
+    dc = d.get("data_config")
+    if dc is None:
+        return None
+    names = {f.name for f in dataclasses.fields(DataConfig)}
+    return DataConfig(**{k: v for k, v in dc.items() if k in names})
 
 
 def _ckptr():

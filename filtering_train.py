@@ -226,6 +226,7 @@ def main():
         seed=args.seed,
         confidence_loss_weight=args.confidence_loss_weight,
         affinity_loss_weight=args.affinity_loss_weight,
+        data_cfg=data_cfg,
     )
     trainer.fit(args.n_epochs)
 

@@ -57,6 +57,12 @@ def get_parser():
     p.add_argument("--filtering_ckpt", type=str, default="best_model")
     p.add_argument("--random_weights", action="store_true",
                    help="random-init models (smoke/benchmark use)")
+    p.add_argument("--esm_embeddings_path", type=str, default=None,
+                   help="precomputed ESM2 embeddings (.pt/.npz keyed "
+                        "{name}_chain_{i}); required when the score model "
+                        "was trained with LM embeddings unless the ESM2 "
+                        "weights are locally available for on-the-fly "
+                        "computation (reference pdbbind.py:408)")
     # sampling
     p.add_argument("--samples_per_complex", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=8)
@@ -114,6 +120,56 @@ def load_model_and_cfg(args, run_dir, ckpt_name, example_graph, confidence=False
     return cfg, variables
 
 
+def inference_data_config(train_dc, args, DataConfig):
+    """Reconstruct the featurization config from the trained model's stored
+    data_config, with the inference-time overrides the reference applies
+    (inference.py:365-393: chain_cutoff=inf, matching off, side-chain
+    conformer matching off, fallback on)."""
+    import dataclasses
+
+    base = train_dc if train_dc is not None else DataConfig()
+    return dataclasses.replace(
+        base,
+        chain_cutoff=float("inf"),
+        matching=False,
+        conformer_match_sidechains=False,
+        use_original_conformer_fallback=True,
+        use_original_conformer=False,
+        keep_local_structures=args.keep_local_structures,
+        num_conformers=1,
+        match_max_rmsd=None,
+        max_lig_size=None,
+    )
+
+
+def resolve_esm(args, df, cfg, what: str):
+    """Embeddings for every complex when the model was trained with them;
+    fails loudly on dim mismatch / unresolvable embeddings."""
+    if cfg is None or cfg.esm_embeddings_dim == 0:
+        return None
+    from diffdock_pocket_tpu.data import esm as esmmod
+
+    names = [str(n) for n in df["complex_name"]]
+    paths = [str(p) for p in df["experimental_protein"]]
+    emb = esmmod.embeddings_for_complexes(
+        names, paths, precomputed_path=args.esm_embeddings_path
+    )
+    if emb is None or any(n not in emb for n in names):
+        missing = names if emb is None else [n for n in names if n not in emb]
+        raise SystemExit(
+            f"the {what} model was trained with {cfg.esm_embeddings_dim}-d ESM "
+            f"embeddings but none could be resolved for {missing[:5]}...; pass "
+            "--esm_embeddings_path or provide the ESM2 weights locally"
+        )
+    dim = int(next(iter(emb.values()))[0].shape[-1])
+    if dim != cfg.esm_embeddings_dim:
+        raise SystemExit(
+            f"ESM embedding dim mismatch: {what} model expects "
+            f"{cfg.esm_embeddings_dim}, embeddings provide {dim}"
+        )
+    return emb
+
+
 def main():
     args = get_parser().parse_args()
     if args.config:
@@ -159,8 +215,43 @@ def main():
                 row[f"pocket_center_{a}"] = getattr(args, f"pocket_center_{a}")
         df = ds.load_protein_ligand_df(df=pd.DataFrame([row]))
 
-    data_cfg = DataConfig(keep_local_structures=args.keep_local_structures)
-    dataset = ds.DockingDataset(df, data_cfg)
+    from diffdock_pocket_tpu.utils import checkpoint as ckptlib
+
+    # --- model configs first: they define the featurization ----------------
+    # (reference inference.py:332-336 reads both model_parameters.yml before
+    # building the dataset so graph params exactly match training)
+    score_train_dc = conf_train_dc = None
+    score_cfg_loaded = conf_cfg_loaded = None
+    if args.score_model_dir:
+        score_cfg_loaded = ckptlib.load_yaml_config(args.score_model_dir)
+        score_train_dc = ckptlib.load_data_config(args.score_model_dir)
+    if args.filtering_model_dir:
+        conf_cfg_loaded = ckptlib.load_yaml_config(args.filtering_model_dir)
+        conf_train_dc = ckptlib.load_data_config(args.filtering_model_dir)
+
+    data_cfg = inference_data_config(score_train_dc, args, DataConfig)
+    esm_embeddings = resolve_esm(args, df, score_cfg_loaded, "score")
+    dataset = ds.DockingDataset(df, data_cfg, esm_embeddings=esm_embeddings)
+
+    # separate featurization for the filtering model when its graph params
+    # differ from the score model's (reference inference.py:396-429)
+    filtering_dataset = None
+    if conf_cfg_loaded is not None:
+        conf_data_cfg = inference_data_config(conf_train_dc, args, DataConfig)
+        conf_esm = resolve_esm(args, df, conf_cfg_loaded, "filtering")
+        esm_dims_differ = (
+            score_cfg_loaded is None
+            or conf_cfg_loaded.esm_embeddings_dim
+            != score_cfg_loaded.esm_embeddings_dim
+        )
+        if conf_data_cfg != data_cfg or esm_dims_differ:
+            logging.info(
+                "filtering model uses different graphs than the score model; "
+                "featurizing a second dataset"
+            )
+            filtering_dataset = ds.DockingDataset(
+                df, conf_data_cfg, esm_embeddings=conf_esm
+            )
 
     # --- models ------------------------------------------------------------
     first = dataset.get(0)
@@ -170,6 +261,11 @@ def main():
     score_cfg, score_vars = load_model_and_cfg(
         args, args.score_model_dir, args.score_ckpt, g_ex
     )
+    if score_cfg.esm_embeddings_dim != g_ex.rec_esm.shape[-1]:
+        raise SystemExit(
+            f"score model expects {score_cfg.esm_embeddings_dim}-d ESM "
+            f"features but the graph carries {g_ex.rec_esm.shape[-1]}-d"
+        )
     conf_cfg = conf_vars = None
     if args.filtering_model_dir or args.random_weights:
         conf_cfg, conf_vars = load_model_and_cfg(
@@ -211,17 +307,22 @@ def main():
         if args.save_visualisation:
             raise SystemExit("--multi_complex_batching does not collect "
                              "trajectories; drop --save_visualisation")
-        datas = []
+        datas, fdatas = [], []
         for idx in range(len(dataset)):
             data = dataset.get(idx) if idx else first
-            if data is None:
+            fdata = filtering_dataset.get(idx) if filtering_dataset else None
+            if data is None or (filtering_dataset and fdata is None):
                 failures += 1
             else:
                 datas.append(data)
+                fdatas.append(fdata)
         mesh = None
         if len(jax.devices()) > 1:
             mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ("dp",))
-        results = pipe.dock_many(datas, key, mesh=mesh)
+        results = pipe.dock_many(
+            datas, key, mesh=mesh,
+            filtering_datas=fdatas if filtering_dataset else None,
+        )
         for data, result in zip(datas, results):
             _write_outputs(args, data, result)
         logging.info("done; %d/%d complexes failed", failures, len(dataset))
@@ -232,9 +333,16 @@ def main():
         if data is None:
             failures += 1
             continue
+        fdata = None
+        if filtering_dataset is not None:
+            fdata = filtering_dataset.get(idx)
+            if fdata is None:
+                logging.warning("filtering featurization failed for %s", data.name)
+                failures += 1
+                continue
         key, sub = jax.random.split(key)
         try:
-            result = pipe.dock(data, sub)
+            result = pipe.dock(data, sub, filtering_data=fdata)
         except Exception as e:  # per-complex skip-and-continue
             logging.exception("docking failed for %s: %s", data.name, e)
             failures += 1

@@ -23,7 +23,7 @@ from diffdock_pocket_tpu.data import featurize
 from diffdock_pocket_tpu.models.config import BIG_SCORE_CONFIG
 from diffdock_pocket_tpu.models.score_model import get_model
 
-EX = "/root/reference/example_data"
+EX = os.path.join(os.path.dirname(__file__), os.pardir, "example_data")
 B = int(os.environ.get("B", "8"))
 
 

@@ -1,5 +1,5 @@
 """Host data-layer tests on the shipped 3dpf example complex
-(/root/reference/example_data — a real PDB + SDF pair, CPU-only)."""
+(example_data/ — a real PDB + SDF pair, CPU-only)."""
 import os
 
 import numpy as np
@@ -8,7 +8,7 @@ import pytest
 from diffdock_pocket_tpu.data import featurize, pdb, receptor, sdf
 from diffdock_pocket_tpu.data.chem import ALLOWABLE_FEATURES
 
-EXAMPLE = "/root/reference/example_data"
+EXAMPLE = os.path.join(os.path.dirname(__file__), os.pardir, "example_data")
 PROTEIN = os.path.join(EXAMPLE, "3dpf_protein.pdb")
 LIGAND = os.path.join(EXAMPLE, "3dpf_ligand.sdf")
 

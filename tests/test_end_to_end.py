@@ -17,7 +17,7 @@ from diffdock_pocket_tpu import pipeline, sampling, visualise
 from diffdock_pocket_tpu.data import featurize, sdf
 from diffdock_pocket_tpu.models.config import ModelConfig
 
-EXAMPLE = "/root/reference/example_data"
+EXAMPLE = os.path.join(os.path.dirname(__file__), os.pardir, "example_data")
 PROTEIN = os.path.join(EXAMPLE, "3dpf_protein.pdb")
 LIGAND = os.path.join(EXAMPLE, "3dpf_ligand.sdf")
 

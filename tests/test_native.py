@@ -11,7 +11,7 @@ import pytest
 
 from diffdock_pocket_tpu.data import native, pdb, sdf
 
-EXAMPLE = "/root/reference/example_data"
+EXAMPLE = os.path.join(os.path.dirname(__file__), os.pardir, "example_data")
 PROTEIN = os.path.join(EXAMPLE, "3dpf_protein.pdb")
 LIGAND = os.path.join(EXAMPLE, "3dpf_ligand.sdf")
 

@@ -11,6 +11,7 @@ jitted train step (training.py); batches are bucketed by graph shape; data
 parallelism over a jax Mesh (pass --n_devices>1 under a multi-chip runtime).
 """
 import argparse
+import dataclasses
 import logging
 import os
 import sys
@@ -61,7 +62,14 @@ def parse_train_args(argv=None):
     p.add_argument("--match_max_rmsd", type=float, default=2.0)
     p.add_argument("--use_original_conformer_fallback", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--use_original_conformer", action="store_true")
-    p.add_argument("--esm_embeddings_path", type=str, default=None)
+    p.add_argument("--esm_embeddings_path", type=str, default=None,
+                   help="precomputed ESM2 embeddings (.pt/.npz keyed "
+                        "{name}_chain_{i}); attached to receptor residues "
+                        "(reference utils/esm.py:156-188, pdbbind.py:408)")
+    p.add_argument("--generate_esm_embeddings", action="store_true",
+                   help="compute ESM2 embeddings during preprocessing with "
+                        "the on-device flax port / torch tier (requires the "
+                        "HF esm2_t33_650M_UR50D checkpoint locally)")
     # diffusion
     p.add_argument("--tr_sigma_min", type=float, default=0.1)
     p.add_argument("--tr_sigma_max", type=float, default=5.0)
@@ -173,7 +181,7 @@ def build_configs(args):
         separate_noise_schedule=args.separate_noise_schedule,
         no_aminoacid_identities=args.no_aminoacid_identities,
         atom_max_neighbors=args.atom_max_neighbors,
-        esm_embeddings_dim=1280 if args.esm_embeddings_path else 0,
+        esm_embeddings_dim=0,  # set in main() from the resolved embeddings
         sigma=sigma,
     )
     data_cfg = DataConfig(
@@ -236,14 +244,60 @@ def main():
         df_train = df_train.iloc[: args.limit_complexes]
         df_val = df_val.iloc[: args.limit_complexes]
 
+    esm_embeddings = resolve_esm_embeddings(args, [df_train, df_val])
+    if esm_embeddings:
+        dim = int(next(iter(esm_embeddings.values()))[0].shape[-1])
+        model_cfg = dataclasses.replace(model_cfg, esm_embeddings_dim=dim)
+        logging.info("attached %d-d ESM embeddings for %d complexes",
+                     dim, len(esm_embeddings))
+
     train_set = ds.DockingDataset(
         df_train, data_cfg, cache_dir=args.cache_path,
+        esm_embeddings=esm_embeddings,
         num_workers=args.num_dataloader_workers,
     )
-    val_set = ds.DockingDataset(df_val, data_cfg, cache_dir=args.cache_path)
+    val_set = ds.DockingDataset(df_val, data_cfg, cache_dir=args.cache_path,
+                                esm_embeddings=esm_embeddings)
 
     trainer = Trainer(args, model_cfg, noise_cfg, weights, train_set, val_set)
     trainer.fit()
+
+
+def resolve_esm_embeddings(args, dfs):
+    """Resolve receptor LM embeddings for every complex in ``dfs``: from
+    --esm_embeddings_path (precomputed .pt/.npz, reference train path) or by
+    running the ESM2 tier during preprocessing (--generate_esm_embeddings,
+    reference pdbbind.py:408).  Fails loudly when embeddings were requested
+    but cannot be resolved for all complexes."""
+    if not (args.esm_embeddings_path or args.generate_esm_embeddings):
+        return None
+    from diffdock_pocket_tpu.data import esm as esmmod
+
+    names, paths = [], []
+    seen = set()
+    for df in dfs:
+        for _, row in df.iterrows():
+            n = str(row["complex_name"])
+            if n not in seen:
+                seen.add(n)
+                names.append(n)
+                paths.append(str(row["experimental_protein"]))
+    emb = esmmod.embeddings_for_complexes(
+        names, paths, precomputed_path=args.esm_embeddings_path
+    )
+    if emb is None:
+        raise SystemExit(
+            "ESM embeddings were requested but could not be resolved: pass "
+            "--esm_embeddings_path or make the esm2_t33_650M_UR50D weights "
+            "available locally for --generate_esm_embeddings."
+        )
+    missing = [n for n in names if n not in emb]
+    if missing:
+        raise SystemExit(
+            f"--esm_embeddings_path is missing embeddings for "
+            f"{len(missing)} complexes (e.g. {missing[:5]})"
+        )
+    return emb
 
 
 if __name__ == "__main__":
