@@ -39,23 +39,104 @@ def openmm_available() -> bool:
         return False
 
 
-def openmm_relax(*args, **kwargs):
+def openmm_relax(
+    protein_pdb_path: str,
+    ligand_sdf_path: str,
+    out_sdf_path: str,
+    temperature_kelvin: float = 300.0,
+    tolerance_kcal_mol: float = 0.01,
+    add_solvent: bool = False,
+):
+    """Energy-minimize the ligand inside the (frozen) pocket with OpenMM —
+    the reference's PoseBusters-derived pipeline (utils/posebusters_em.py:
+    43-213): PDBFixer-prepped protein with zeroed masses, SMIRNOFF-
+    parameterized ligand, amber14 + GBn2 implicit solvent, Langevin
+    integrator, ``minimizeEnergy``.  Returns (energy_before, energy_after)
+    in kcal/mol and writes the relaxed ligand SDF.
+
+    Requires openmm + openff-toolkit + pdbfixer (host-side, optional)."""
     if not openmm_available():
         raise RuntimeError(
             "OpenMM is not available in this environment; use clash_relax "
             "(TPU-native) or run the OpenMM relaxation externally."
         )
-    raise NotImplementedError(
-        "OpenMM relaxation requires the openff/pdbfixer toolchain; "
-        "run the reference posebusters_em pipeline on the exported poses."
+    import numpy as _np
+    import openmm
+    import openmm.app as app
+    import openmm.unit as unit
+    from openff.toolkit.topology import Molecule as OFFMolecule
+    from openmmforcefields.generators import SMIRNOFFTemplateGenerator
+    from pdbfixer import PDBFixer
+
+    # --- protein prep (missing atoms/residues/Hs) ---------------------------
+    fixer = PDBFixer(filename=protein_pdb_path)
+    fixer.findMissingResidues()
+    fixer.findMissingAtoms()
+    fixer.addMissingAtoms()
+    fixer.addMissingHydrogens(7.0)
+
+    # --- ligand via openff / SMIRNOFF ---------------------------------------
+    off_lig = OFFMolecule.from_file(ligand_sdf_path, allow_undefined_stereo=True)
+    lig_top = off_lig.to_topology().to_openmm()
+    lig_pos = off_lig.conformers[0].to_openmm()
+
+    # --- merged modeller -----------------------------------------------------
+    modeller = app.Modeller(fixer.topology, fixer.positions)
+    modeller.add(lig_top, lig_pos)
+
+    ff = app.ForceField("amber14-all.xml", "implicit/gbn2.xml")
+    ff.registerTemplateGenerator(
+        SMIRNOFFTemplateGenerator(molecules=[off_lig]).generator
     )
+    system = ff.createSystem(
+        modeller.topology,
+        nonbondedMethod=app.NoCutoff,
+        constraints=None,
+        rigidWater=False,
+    )
+    # freeze everything except the ligand (mass 0 => immobile)
+    n_protein = len(list(fixer.topology.atoms()))
+    for i in range(n_protein):
+        system.setParticleMass(i, 0.0)
+
+    integrator = openmm.LangevinIntegrator(
+        temperature_kelvin * unit.kelvin, 1.0 / unit.picosecond,
+        0.002 * unit.picoseconds,
+    )
+    sim = app.Simulation(modeller.topology, system, integrator)
+    sim.context.setPositions(modeller.positions)
+
+    def _energy():
+        st = sim.context.getState(getEnergy=True)
+        return float(
+            st.getPotentialEnergy().value_in_unit(unit.kilocalorie_per_mole)
+        )
+
+    e_before = _energy()
+    sim.minimizeEnergy(
+        tolerance=tolerance_kcal_mol * unit.kilocalorie_per_mole
+    )
+    e_after = _energy()
+
+    pos = sim.context.getState(getPositions=True).getPositions(asNumpy=True)
+    lig_xyz = _np.asarray(
+        pos.value_in_unit(unit.angstrom), dtype=_np.float64
+    )[n_protein:]
+    relaxed = off_lig
+    import openff.units as off_units
+
+    relaxed._conformers = [
+        off_units.unit.Quantity(lig_xyz, off_units.unit.angstrom)
+    ]
+    relaxed.to_file(out_sdf_path, file_format="sdf")
+    return e_before, e_after
 
 
 @dataclass(frozen=True)
 class ClashRelaxConfig:
-    steps: int = 100
-    lr: float = 0.02
-    restraint: float = 0.5  # kcal-ish weight pulling back to the input pose
+    steps: int = 300
+    lr: float = 0.05
+    restraint: float = 0.01  # weight pulling back to the input pose
     vdw_tolerance: float = 0.4  # same tolerance as the clash metric
     softness: float = 4.0
 
@@ -115,14 +196,42 @@ def clash_relax(
         return e + cfg.restraint * drift
 
     params0 = (jnp.zeros(3), jnp.zeros(3), jnp.zeros(T))
-    grad_fn = jax.grad(objective)
+    val_grad_fn = jax.value_and_grad(objective)
 
-    def body(params, _):
-        grads = grad_fn(params)
-        new = jax.tree.map(lambda p, g: p - cfg.lr * g, params, grads)
-        return new, None
+    # Adam with best-iterate tracking: the soft-sphere penalty is stiff (its
+    # gradient scale varies by orders of magnitude with clash depth), so raw
+    # GD overshoots on deep clashes; per-coordinate normalization + keeping
+    # the lowest-objective iterate is robust across depths.
+    b1, b2, eps = 0.9, 0.999, 1e-8
 
-    params, _ = jax.lax.scan(body, params0, None, length=cfg.steps)
+    def body(carry, i):
+        params, m, v, best_params, best_val = carry
+        val, grads = val_grad_fn(params)
+        better = val < best_val
+        best_params = jax.tree.map(
+            lambda b, p: jnp.where(better, p, b), best_params, params
+        )
+        best_val = jnp.where(better, val, best_val)
+        m = jax.tree.map(lambda m_, g: b1 * m_ + (1 - b1) * g, m, grads)
+        v = jax.tree.map(lambda v_, g: b2 * v_ + (1 - b2) * g * g, v, grads)
+        t = i + 1.0
+        def upd(p, m_, v_):
+            mhat = m_ / (1 - b1**t)
+            vhat = v_ / (1 - b2**t)
+            return p - cfg.lr * mhat / (jnp.sqrt(vhat) + eps)
+        params = jax.tree.map(upd, params, m, v)
+        return (params, m, v, best_params, best_val), None
+
+    zeros = jax.tree.map(jnp.zeros_like, params0)
+    init = (params0, zeros, zeros, params0, objective(params0))
+    (params, _, _, best_params, _), _ = jax.lax.scan(
+        body, init, jnp.arange(cfg.steps, dtype=jnp.float32)
+    )
+    final_val = objective(params)
+    best_val = objective(best_params)
+    params = jax.tree.map(
+        lambda b, p: jnp.where(final_val < best_val, p, b), best_params, params
+    )
     relaxed = pose(params)
     return relaxed, overlap_energy(lig_pos), overlap_energy(relaxed)
 

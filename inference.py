@@ -20,8 +20,10 @@ Differences vs the reference (documented):
   checkpoint, utils/checkpoint.py) or --random_weights for smoke tests; the
   GitHub release auto-download is replaced by --score_model_dir /
   --filtering_model_dir (this environment has no egress).
-- --relax (OpenMM energy minimization) is gated: it requires OpenMM which is
-  not shipped here; requesting it raises a clear error.
+- --relax runs OpenMM energy minimization when OpenMM (+ openff/pdbfixer)
+  is importable (reference utils/posebusters_em.py), else the TPU-native
+  clash_relax tier (soft-sphere rigid+torsional descent, relax.py); both
+  write rank1_relaxed.sdf.
 """
 import argparse
 import logging
@@ -180,12 +182,6 @@ def main():
         for k, v in (overlay or {}).items():
             if hasattr(args, k):
                 setattr(args, k, v)
-
-    if args.relax:
-        raise SystemExit(
-            "--relax requires OpenMM, which is not available in this build; "
-            "run the OpenMM relaxation step externally on the output poses."
-        )
 
     runtime.setup()
     logging.basicConfig(level=logging.INFO)
@@ -374,6 +370,8 @@ def _write_outputs(args, data, result):
             os.path.join(out, f"rank{rank + 1}_protein.pdb"),
             data.receptor_arrays, result.atom_pos[rank][:na], result.center,
         )
+    if args.relax:
+        _relax_rank1(args, data, result, out)
     if args.save_visualisation and result.trajectory is not None:
         lig_traj = result.trajectory[0]  # [steps, S, NL, 3]
         for rank in range(min(3, lig_traj.shape[1])):
@@ -382,6 +380,49 @@ def _write_outputs(args, data, result):
                 w.add(lig_traj[step, rank][:nl] + result.center)
             w.write(os.path.join(out, f"rank{rank + 1}_reverseprocess.pdb"))
     logging.info("finished %s -> %s", data.name, out)
+
+
+def _relax_rank1(args, data, result, out):
+    """Relax the top-ranked pose -> rank1_relaxed.sdf (reference
+    inference.py:248 + utils/posebusters_em.py:147-213).  Tier 1 = OpenMM
+    energy minimization when importable; tier 2 = the TPU-native
+    clash_relax (rigid+torsional soft-sphere descent, relax.py)."""
+    import numpy as np
+
+    from diffdock_pocket_tpu import evaluation, relax as relaxlib, visualise
+
+    relaxed_path = os.path.join(out, "rank1_relaxed.sdf")
+    if relaxlib.openmm_available():
+        rank1 = sorted(
+            p for p in os.listdir(out)
+            if p.startswith("rank1") and p.endswith(".sdf") and "relaxed" not in p
+        )[0]
+        e0, e1 = relaxlib.openmm_relax(
+            os.path.join(out, "rank1_protein.pdb"),
+            os.path.join(out, rank1), relaxed_path,
+        )
+        logging.info("%s OpenMM relax: %.1f -> %.1f kcal/mol", data.name, e0, e1)
+        return
+
+    nl = len(data.raw["lig_pos"])
+    na = len(data.raw["atom_pos"])
+    relaxed, e0, e1 = relaxlib.relax_result_pose(data, result, rank=0)
+    elements = evaluation.elements_from_atom_feat(data.raw["atom_feat"])
+    clashes_before = evaluation.rec_lig_clashes(
+        result.atom_pos[0][:na], elements,
+        result.lig_pos[0][:nl], list(data.ligand.symbols),
+    )
+    clashes_after = evaluation.rec_lig_clashes(
+        result.atom_pos[0][:na], elements, relaxed[:nl], list(data.ligand.symbols),
+    )
+    visualise.write_ligand_sdf(
+        relaxed_path, data.ligand, relaxed[:nl], result.center,
+        name=f"{data.name}_relaxed",
+    )
+    logging.info(
+        "%s clash_relax: overlap %.3f -> %.3f, rec-lig clashes %d -> %d",
+        data.name, e0, e1, clashes_before, clashes_after,
+    )
 
 
 if __name__ == "__main__":
