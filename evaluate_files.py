@@ -46,6 +46,46 @@ def get_parser():
     return p
 
 
+BACKBONE = {"CA", "N", "C", "O", "OXT"}
+
+
+def sidechain_rmsd(pred_rec, true_protein_path: str, flex_file: str):
+    """Side-chain RMSD over the heavy atoms of the *flexible* residues
+    (reference evaluate_files.py:324-339 filters backbone + H; we also
+    restrict to the residues the run actually treated as flexible via the
+    flexible_residues.txt sidecar — a whole-receptor RMSD would be diluted
+    by the frozen atoms).  Atoms are matched by (chain, resid, atom name)
+    so pocket-reduced predictions compare against the full truth receptor.
+    Returns None when no side-chain atoms can be matched."""
+    flex = None
+    if os.path.exists(flex_file):
+        flex = set()
+        with open(flex_file) as fh:
+            for line in fh:
+                parts = line.strip().split(":")
+                if len(parts) >= 2:
+                    flex.add((parts[0], int(parts[1])))
+    true_rec = parse_pdb(true_protein_path)
+    true_map = {}
+    for res in true_rec.get_residues():
+        for a in res.atoms:
+            true_map[(res.chain_id, res.seq, a.name)] = a.coord
+    pred_xyz, true_xyz = [], []
+    for res in pred_rec.get_residues():
+        if flex is not None and (res.chain_id, res.seq) not in flex:
+            continue
+        for a in res.atoms:
+            if a.element == "H" or a.name in BACKBONE:
+                continue
+            t = true_map.get((res.chain_id, res.seq, a.name))
+            if t is not None:
+                pred_xyz.append(a.coord)
+                true_xyz.append(t)
+    if not pred_xyz:
+        return None
+    return ev.rmsd(np.asarray(pred_xyz), np.asarray(true_xyz))
+
+
 def ranked_poses(complex_dir: str):
     """[(rank, confidence|None, path)] sorted by rank."""
     out = []
@@ -67,6 +107,8 @@ def main():
 
     per_complex_rmsds = []
     per_complex_centroid = []
+    per_complex_min_cross = []
+    per_complex_min_self = []
     sc_rmsds_top1 = []
     clash_counts_top1 = []
     names = []
@@ -82,12 +124,20 @@ def main():
         poses = ranked_poses(cdir)
         if not poses:
             continue
-        rmsds, cents = [], []
+        prot_path = os.path.join(cdir, "rank1_protein.pdb")
+        rec_atoms = rec_elements = None
+        if os.path.exists(prot_path):
+            pred_rec = parse_pdb(prot_path)
+            rec_atoms = pred_rec.atom_coords()
+            rec_elements = [a.element for a in pred_rec.get_atoms()]
+        rmsds, cents, mcross, mself = [], [], [], []
         for rank, conf, path in poses:
             pred = sdfio.read_molecule(path, remove_hs=True)
             if pred is None or pred.n_atoms != true_mol.n_atoms:
                 rmsds.append(np.inf)
                 cents.append(np.inf)
+                mcross.append(np.inf)
+                mself.append(np.inf)
                 continue
             try:
                 r = ev.symmetry_rmsd(
@@ -97,27 +147,40 @@ def main():
                 r = ev.rmsd(pred.coords, true_mol.coords)
             rmsds.append(r)
             cents.append(ev.centroid_distance(pred.coords, true_mol.coords))
+            # min receptor-ligand / intra-ligand distances (reference
+            # evaluate_files.py:244-249)
+            if rec_atoms is not None and len(rec_atoms):
+                d = np.linalg.norm(
+                    rec_atoms[:, None] - pred.coords[None, :], axis=-1
+                )
+                mcross.append(float(d.min()))
+            else:
+                mcross.append(np.inf)
+            dself = np.linalg.norm(
+                pred.coords[:, None] - pred.coords[None, :], axis=-1
+            )
+            np.fill_diagonal(dself, np.inf)
+            mself.append(float(dself.min()) if pred.n_atoms > 1 else np.inf)
         per_complex_rmsds.append(np.asarray(rmsds))
         per_complex_centroid.append(np.asarray(cents))
+        per_complex_min_cross.append(np.asarray(mcross))
+        per_complex_min_self.append(np.asarray(mself))
         names.append(name)
 
         # top-1 receptor metrics
-        prot_path = os.path.join(cdir, "rank1_protein.pdb")
-        if os.path.exists(prot_path) and os.path.exists(str(row["experimental_protein"])):
-            pred_rec = parse_pdb(prot_path)
-            pred_atoms = pred_rec.atom_coords()
-            elements = [a.element for a in pred_rec.get_atoms()]
+        if rec_atoms is not None and os.path.exists(str(row["experimental_protein"])):
             pred_lig = sdfio.read_molecule(poses[0][2], remove_hs=True)
             if pred_lig is not None:
                 clash_counts_top1.append((len(names) - 1, ev.rec_lig_clashes(
-                    pred_atoms, elements, pred_lig.coords, pred_lig.symbols
+                    rec_atoms, rec_elements, pred_lig.coords, pred_lig.symbols
                 )))
             if args.flexible_sidechains:
-                true_rec = parse_pdb(str(row["experimental_protein"]))
-                true_rec.remove_hydrogens()
-                ta = true_rec.atom_coords()
-                if len(ta) == len(pred_atoms):
-                    sc_rmsds_top1.append((len(names) - 1, ev.rmsd(pred_atoms, ta)))
+                sc = sidechain_rmsd(
+                    pred_rec, str(row["experimental_protein"]),
+                    os.path.join(cdir, "flexible_residues.txt"),
+                )
+                if sc is not None:
+                    sc_rmsds_top1.append((len(names) - 1, sc))
 
     def summarize(keep):
         """Metric block over the complexes whose index passes ``keep``."""
@@ -134,11 +197,25 @@ def main():
         if len(cc):
             s["top1_steric_clash_fraction"] = float(np.mean(cc > 0))
             s["top1_mean_clashes"] = float(cc.mean())
+        # vdW-overlap fractions over all predictions (reference
+        # evaluate_files.py:292-297: min cross/self distance < 0.4 A)
+        mc = np.concatenate([
+            v for i, v in enumerate(per_complex_min_cross) if keep(i)
+        ]) if per_complex_min_cross else np.zeros(0)
+        msf = np.concatenate([
+            v for i, v in enumerate(per_complex_min_self) if keep(i)
+        ]) if per_complex_min_self else np.zeros(0)
+        mc, msf = mc[np.isfinite(mc)], msf[np.isfinite(msf)]
+        if len(mc):
+            s["steric_clash_fraction"] = float(np.mean(mc < 0.4))
+        if len(msf):
+            s["self_intersect_fraction"] = float(np.mean(msf < 0.4))
         sc = np.asarray([v for i, v in sc_rmsds_top1 if keep(i)])
         if len(sc):
             s["top1_sc_rmsd_below_025"] = float(np.mean(sc < 0.25))
             s["top1_sc_rmsd_below_05"] = float(np.mean(sc < 0.5))
             s["top1_sc_rmsd_below_1"] = float(np.mean(sc < 1.0))
+            s["mean_sidechain_rmsd"] = float(sc.mean())
         return s
 
     summary = summarize(lambda i: True)
@@ -151,6 +228,10 @@ def main():
 
     np.save(os.path.join(args.results_path, "rmsds.npy"),
             np.asarray(per_complex_rmsds, dtype=object), allow_pickle=True)
+    np.save(os.path.join(args.results_path, "min_cross_distances.npy"),
+            np.asarray(per_complex_min_cross, dtype=object), allow_pickle=True)
+    np.save(os.path.join(args.results_path, "min_self_distances.npy"),
+            np.asarray(per_complex_min_self, dtype=object), allow_pickle=True)
     np.save(os.path.join(args.results_path, "names.npy"), np.asarray(names))
     out_json = args.out_json or os.path.join(args.results_path, "summary.json")
     with open(out_json, "w") as fh:

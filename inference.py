@@ -355,6 +355,12 @@ def _write_outputs(args, data, result):
     os.makedirs(out, exist_ok=True)
     nl = len(data.raw["lig_pos"])
     na = len(data.raw["atom_pos"])
+    if data.flex_residue_ids:
+        # sidecar consumed by evaluate_files.py: restricts the side-chain
+        # RMSD metric to the residues that were actually flexible
+        with open(os.path.join(out, "flexible_residues.txt"), "w") as fh:
+            for chain, seq, resname in data.flex_residue_ids:
+                fh.write(f"{chain}:{seq}:{resname}\n")
     for rank in range(result.lig_pos.shape[0]):
         conf_tag = (
             f"_confidence{result.confidence[rank]:.2f}"

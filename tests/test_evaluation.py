@@ -71,3 +71,61 @@ def test_topk_aggregates():
     assert s["top5_rmsds_below_2"] == 1.0
     rate = ev.topk_rate(per_complex, 1, 2.0)
     assert rate == 0.5
+
+
+def test_evaluate_files_sidechain_rmsd_not_diluted(tmp_path):
+    """sc-RMSD of a frozen receptor with ONE moved side chain equals that
+    side chain's own RMSD (the round-1 whole-receptor metric was diluted by
+    the frozen atoms; reference evaluate_files.py:324-339 filters
+    backbone/H and we additionally restrict to the flexible residues)."""
+    import importlib.util
+    import os as _os
+    import sys as _sys
+
+    import numpy as _np
+
+    from diffdock_pocket_tpu.data.pdb import parse_pdb
+
+    example = _os.path.join(_os.path.dirname(__file__), _os.pardir, "example_data")
+    protein = _os.path.join(example, "3dpf_protein.pdb")
+    if not _os.path.exists(protein):
+        import pytest as _pytest
+
+        _pytest.skip("3dpf example data not available")
+
+    spec = importlib.util.spec_from_file_location(
+        "evaluate_files_cli",
+        _os.path.join(_os.path.dirname(__file__), _os.pardir, "evaluate_files.py"),
+    )
+    ef = importlib.util.module_from_spec(spec)
+    _sys.modules["evaluate_files_cli"] = ef
+    spec.loader.exec_module(ef)
+
+    pred = parse_pdb(protein)
+    pred.remove_hydrogens()
+    # pick a residue with side-chain atoms and displace them by 2 A in x
+    target = None
+    for res in pred.get_residues():
+        sc = [a for a in res.atoms if a.name not in ef.BACKBONE and a.element != "H"]
+        if len(sc) >= 3:
+            target = res
+            break
+    assert target is not None
+    moved = 0
+    for a in target.atoms:
+        if a.name not in ef.BACKBONE and a.element != "H":
+            a.coord = a.coord + _np.asarray([2.0, 0.0, 0.0], _np.float32)
+            moved += 1
+
+    flex_file = str(tmp_path / "flexible_residues.txt")
+    with open(flex_file, "w") as fh:
+        fh.write(f"{target.chain_id}:{target.seq}:{target.name}\n")
+
+    r = ef.sidechain_rmsd(pred, protein, flex_file)
+    # every selected atom moved exactly 2 A -> RMSD exactly 2
+    assert abs(r - 2.0) < 1e-4
+
+    # without the sidecar (all side-chain atoms) the metric IS diluted --
+    # the regression this guards against
+    r_all = ef.sidechain_rmsd(pred, protein, str(tmp_path / "missing.txt"))
+    assert r_all < 0.5
