@@ -195,11 +195,15 @@ class FilteringDataset:
         affinities: Optional[dict[str, float]] = None,
         trajectory_sampling: bool = False,
         fixed_step: Optional[int] = None,
+        parallel: int = 1,
     ):
         if balance and isinstance(rmsd_classification_cutoff, (list, tuple)):
             raise ValueError(
                 "a list rmsd_classification_cutoff cannot be used with balance"
             )
+        if parallel > 1 and (balance or trajectory_sampling):
+            raise ValueError("parallel poses cannot be combined with "
+                             "balance/trajectory_sampling")
         if trajectory_sampling:
             any_pose = next(iter(poses.values()))
             if any_pose.trajectory is None:
@@ -215,6 +219,7 @@ class FilteringDataset:
         self.affinities = affinities
         self.trajectory_sampling = trajectory_sampling
         self.fixed_step = fixed_step
+        self.parallel = parallel
         self.index = [
             i
             for i in range(len(dataset))
@@ -253,6 +258,39 @@ class FilteringDataset:
         raw = dict(data.raw)
         t = 0.0
         lig_src, sc_src = pose.lig_pos, pose.sc_pos
+        if self.parallel > 1:
+            # `parallel` pose replicas of the SAME complex: one graph per
+            # pose, per-pose labels, the affinity head aggregates over the
+            # group (reference filtering/dataset.py:348-366; like the
+            # reference, flexible side chains are not supported here)
+            if sc_src is not None and data.raw["sc_bond_index"].size:
+                raise NotImplementedError(
+                    "parallel poses are not implemented for flexible "
+                    "sidechains (matches the reference)"
+                )
+            n = len(pose.rmsds)
+            if self.parallel == n:
+                idxs = np.arange(n)
+            elif self.parallel < n:
+                idxs = rng.choice(n, size=self.parallel, replace=False)
+            else:
+                raise ValueError("parallel size larger than sample count")
+            datas, ys = [], []
+            for s in idxs:
+                r = dict(raw, lig_pos=lig_src[int(s)])
+                datas.append(ComplexData(
+                    raw=r, name=data.name, ligand=data.ligand,
+                    receptor_arrays=data.receptor_arrays,
+                    flex_residue_ids=data.flex_residue_ids,
+                    pocket_center=data.pocket_center,
+                ))
+                ys.append(self.label(float(pose.rmsds[int(s)]), None))
+            aff = (
+                float(self.affinities.get(data.name, np.nan))
+                if self.affinities is not None
+                else float("nan")
+            )
+            return datas, np.asarray(ys, np.float32), aff, t
         if self.trajectory_sampling:
             n_steps = len(pose.trajectory)
             step = (

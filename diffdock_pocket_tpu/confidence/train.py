@@ -63,14 +63,19 @@ def _affinity_loss(aff_pred, aff):
 def make_confidence_train_step(model, optimizer, loss_type: str = "bce",
                                affinity_prediction: bool = False,
                                confidence_loss_weight: float = 1.0,
-                               affinity_loss_weight: float = 1.0):
+                               affinity_loss_weight: float = 1.0,
+                               parallel_affinity: bool = False):
     def loss_fn(params, batch_stats, key, g, y, aff, tvals):
         t = {k: tvals for k in ("tr", "rot", "tor", "sc_tor")}
         logits, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             g, t, None, train=True, rngs={"dropout": key}, mutable=["batch_stats"],
         )
-        conf, aff_pred = _split_affinity(logits, affinity_prediction)
+        if parallel_affinity:
+            # model returns (per-pose filtering [B, P], affinity [B])
+            conf, aff_pred = logits
+        else:
+            conf, aff_pred = _split_affinity(logits, affinity_prediction)
         loss, acc = _confidence_loss(conf, y, loss_type)
         aux = {"confidence_loss": loss, "accuracy": acc}
         loss = confidence_loss_weight * loss
@@ -95,13 +100,17 @@ def make_confidence_train_step(model, optimizer, loss_type: str = "bce",
 def make_confidence_eval_step(model, loss_type: str = "bce",
                               affinity_prediction: bool = False,
                               confidence_loss_weight: float = 1.0,
-                              affinity_loss_weight: float = 1.0):
+                              affinity_loss_weight: float = 1.0,
+                              parallel_affinity: bool = False):
     def step(params, batch_stats, g, y, aff, tvals):
         t = {k: tvals for k in ("tr", "rot", "tor", "sc_tor")}
         logits = model.apply(
             {"params": params, "batch_stats": batch_stats}, g, t, None, train=False
         )
-        conf, aff_pred = _split_affinity(logits, affinity_prediction)
+        if parallel_affinity:
+            conf, aff_pred = logits
+        else:
+            conf, aff_pred = _split_affinity(logits, affinity_prediction)
         loss, _ = _confidence_loss(conf, y, loss_type)
         loss = confidence_loss_weight * loss
         if aff_pred is not None:
@@ -142,6 +151,7 @@ class ConfidenceTrainer:
         confidence_loss_weight: float = 1.0,
         affinity_loss_weight: float = 1.0,
         data_cfg=None,
+        parallel: int = 1,
     ):
         self.cfg = cfg
         self.train_data = train_data
@@ -156,14 +166,18 @@ class ConfidenceTrainer:
         ckpt.save_yaml_config(run_dir, cfg, data_cfg=data_cfg)
         self.model = get_model(cfg)
         self.optimizer = optax.adam(lr)
+        self.parallel = parallel
         aff = bool(getattr(cfg, "affinity_prediction", False)) and cfg.parallel == 1
+        par_aff = bool(getattr(cfg, "affinity_prediction", False)) and cfg.parallel > 1
         self.train_step = jax.jit(make_confidence_train_step(
             self.model, self.optimizer, loss_type, aff,
             confidence_loss_weight, affinity_loss_weight,
+            parallel_affinity=par_aff,
         ))
         self.eval_step = jax.jit(make_confidence_eval_step(
             self.model, loss_type, aff,
             confidence_loss_weight, affinity_loss_weight,
+            parallel_affinity=par_aff,
         ))
         self.transfer_params = transfer_params
         self.best = None
@@ -182,15 +196,35 @@ class ConfidenceTrainer:
 
         groups = {}
         for ex in examples:
-            groups.setdefault(bucket_key(ex[0].raw), []).append(ex)
+            d0 = ex[0][0] if self.parallel > 1 else ex[0]
+            groups.setdefault(bucket_key(d0.raw), []).append(ex)
         for group in groups.values():
             for i in range(0, len(group), self.batch_size):
                 batch = group[i : i + self.batch_size]
                 n_real = len(batch)
                 while len(batch) < self.batch_size:
                     batch.append(batch[len(batch) % n_real])
-                g = graphlib.stack([graphlib.from_raw(d.raw) for d, _, _, _ in batch])
-                y = jnp.asarray([y for _, y, _, _ in batch])
+                if self.parallel > 1:
+                    # one example = `parallel` consecutive graph rows of the
+                    # same complex; labels [B, P], affinity/time per complex
+                    g = graphlib.stack([
+                        graphlib.from_raw(d.raw)
+                        for ds, _, _, _ in batch for d in ds
+                    ])
+                    y = jnp.asarray(np.stack([y for _, y, _, _ in batch]))
+                    aff = jnp.asarray([a for _, _, a, _ in batch], jnp.float32)
+                    # per-row times (B*P graph rows)
+                    tvals = jnp.asarray(
+                        np.repeat([t for _, _, _, t in batch], self.parallel),
+                        jnp.float32,
+                    )
+                    yield g, y, aff, tvals
+                    continue
+                else:
+                    g = graphlib.stack(
+                        [graphlib.from_raw(d.raw) for d, _, _, _ in batch]
+                    )
+                    y = jnp.asarray([y for _, y, _, _ in batch])
                 aff = jnp.asarray([a for _, _, a, _ in batch], jnp.float32)
                 tvals = jnp.asarray([t for _, _, _, t in batch], jnp.float32)
                 yield g, y, aff, tvals

@@ -144,6 +144,16 @@ def parse_ligand_pdb(path_or_text: str):
     return mol
 
 
+def parse_pdbqt(path: str):
+    """Ligand from an AutoDock pdbqt file: every line truncated to the PDB
+    columns (strips the partial-charge + AD-type columns, which would
+    otherwise corrupt element inference) before PDB parsing — exactly the
+    reference's handling (process_mols.py:741-747)."""
+    with open(path) as fh:
+        block = "".join(line[:66] + "\n" for line in fh)
+    return parse_ligand_pdb(block)
+
+
 def read_molecule(path: str, remove_hs: bool = False):
     """Format-dispatching reader (reference read_molecule semantics)."""
     low = path.lower()
@@ -151,7 +161,9 @@ def read_molecule(path: str, remove_hs: bool = False):
         mol = parse_sdf(path)
     elif low.endswith(".mol2"):
         mol = parse_mol2(path)
-    elif low.endswith(".pdb") or low.endswith(".pdbqt"):
+    elif low.endswith(".pdbqt"):
+        mol = parse_pdbqt(path)
+    elif low.endswith(".pdb"):
         mol = parse_ligand_pdb(path)
     else:
         raise ValueError(f"unsupported molecule format: {path}")

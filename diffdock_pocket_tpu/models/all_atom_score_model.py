@@ -110,6 +110,9 @@ class AllAtomScoreModel(nn.Module):
             temb = jnp.concatenate(
                 [emb_fn(t[k]) for k in ("tr", "rot", "tor", "sc_tor")], axis=-1
             )
+        elif cfg.asyncronous_noise_schedule:
+            # embed the base schedule time (reference score_model.py:485-486)
+            temb = emb_fn(t["t"])
         else:
             temb = emb_fn(t["tr"])  # [B, D]
         D = temb.shape[-1]
@@ -207,28 +210,76 @@ class AllAtomScoreModel(nn.Module):
         anbr_w = self._smooth_weight(anbr_d, cfg.lig_max_radius)
         anbr_attr = MLP([ns, ns], dropout=cfg.dropout)(anbr_raw, deterministic=det)
 
-        # -- lig<->rec dense pair block [B, NL, NR] ------------------------
+        # -- lig<->rec cross pair block ------------------------------------
+        # dense [B, NL, NR] (reference radius() semantics) or top-K capped
+        # lists per direction (cross_lig_rec_max_neighbors > 0)
         if cfg.dynamic_max_cross:
             cross_cutoff = sigma_tr * 3.0 + 20.0  # [B]
         else:
             cross_cutoff = jnp.full((B,), cfg.cross_max_distance)
-        lr_vec = g.rec_pos[:, None, :, :] - g.lig_pos[:, :, None, :]  # rec - lig
+        KLR = cfg.cross_lig_rec_max_neighbors
+        KRL = cfg.cross_rec_lig_max_neighbors
+        if bool(KLR) != bool(KRL):
+            raise ValueError(
+                "cross_lig_rec_max_neighbors and cross_rec_lig_max_neighbors "
+                "must be set together (the dense reverse family reuses the "
+                "dense pair block)"
+            )
+        lr_mlp = MLP([ns, ns], dropout=cfg.dropout)
+        if KLR:
+            lr_idx, lr_ok = neighbors.topk_neighbors(
+                g.lig_pos, g.lig_mask, g.rec_pos, g.rec_mask, KLR,
+                cutoff=cross_cutoff, approx=True,
+            )
+            lr_vec = (
+                neighbors.gather_nodes(g.rec_pos, lr_idx)
+                - g.lig_pos[:, :, None, :]
+            )  # rec - lig
+            lr_cols = KLR
+        else:
+            lr_idx = None
+            lr_vec = g.rec_pos[:, None, :, :] - g.lig_pos[:, :, None, :]
+            lr_cols = NR
         lr_d = jnp.linalg.norm(lr_vec, axis=-1)
-        lr_ok = (
-            g.lig_mask[:, :, None]
-            & g.rec_mask[:, None, :]
-            & (lr_d < cross_cutoff[:, None, None])
-        )
+        if not KLR:
+            lr_ok = (
+                g.lig_mask[:, :, None]
+                & g.rec_mask[:, None, :]
+                & (lr_d < cross_cutoff[:, None, None])
+            )
         lr_raw = jnp.concatenate(
             [
-                jnp.broadcast_to(temb[:, None, None, :], (B, NL, NR, D)),
+                jnp.broadcast_to(temb[:, None, None, :], (B, NL, lr_cols, D)),
                 rbf_cross(lr_d),
             ],
             axis=-1,
         )
         lr_sh = shl(lr_vec)
         lr_w = self._smooth_weight(lr_d, cross_cutoff[:, None, None])
-        lr_attr = MLP([ns, ns], dropout=cfg.dropout)(lr_raw, deterministic=det)
+        lr_attr = lr_mlp(lr_raw, deterministic=det)
+        if KRL:
+            # reverse direction gets its own capped list (per rec residue)
+            rl_idx, rl_ok = neighbors.topk_neighbors(
+                g.rec_pos, g.rec_mask, g.lig_pos, g.lig_mask, KRL,
+                cutoff=cross_cutoff, approx=True,
+            )
+            rl_vec = (
+                g.rec_pos[:, :, None, :]
+                - neighbors.gather_nodes(g.lig_pos, rl_idx)
+            )  # rec - lig (same edge orientation as the dense block)
+            rl_d = jnp.linalg.norm(rl_vec, axis=-1)
+            rl_raw = jnp.concatenate(
+                [
+                    jnp.broadcast_to(temb[:, None, None, :], (B, NR, KRL, D)),
+                    rbf_cross(rl_d),
+                ],
+                axis=-1,
+            )
+            rl_sh = shl(rl_vec)
+            rl_w = self._smooth_weight(rl_d, cross_cutoff[:, None, None])
+            rl_attr_base = lr_mlp(rl_raw, deterministic=det)
+        else:
+            rl_idx = None
 
         # -- lig->atom K-list [B, NL, KLA] (cutoff = lig radius) -----------
         la_idx, la_ok = neighbors.topk_neighbors(
@@ -332,15 +383,27 @@ class AllAtomScoreModel(nn.Module):
             attr_r = jnp.concatenate(
                 [lnbr_attr, jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KL, ns)), scal(xg_r)], -1
             )
-            attr_lr = jnp.concatenate(
-                [
-                    lr_attr,
-                    jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, NR, ns)),
-                    jnp.broadcast_to(scal(rec_x)[:, None, :, :], (B, NL, NR, ns)),
-                ],
-                -1,
-            )
-            x_lr = jnp.broadcast_to(rec_x[:, None, :, :], (B, NL, NR, rec_x.shape[-1]))
+            if lr_idx is not None:
+                xg_lr = neighbors.gather_nodes(rec_x, lr_idx)
+                attr_lr = jnp.concatenate(
+                    [
+                        lr_attr,
+                        jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, lr_cols, ns)),
+                        scal(xg_lr),
+                    ],
+                    -1,
+                )
+                x_lr = xg_lr
+            else:
+                attr_lr = jnp.concatenate(
+                    [
+                        lr_attr,
+                        jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, NR, ns)),
+                        jnp.broadcast_to(scal(rec_x)[:, None, :, :], (B, NL, NR, ns)),
+                    ],
+                    -1,
+                )
+                x_lr = jnp.broadcast_to(rec_x[:, None, :, :], (B, NL, NR, rec_x.shape[-1]))
             xg_la = neighbors.gather_nodes(atom_x, la_idx)
             attr_la = jnp.concatenate(
                 [la_attr, jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KLA, ns)), scal(xg_la)], -1
@@ -372,19 +435,35 @@ class AllAtomScoreModel(nn.Module):
                     attr_rr = jnp.concatenate(
                         [rnbr_attr, jnp.broadcast_to(scal(rec_x)[:, :, None, :], (B, NR, KR, ns)), scal(xg_rr)], -1
                     )
-                    attr_rl = jnp.concatenate(
-                        [
-                            lr_attr,
-                            jnp.broadcast_to(scal(rec_x)[:, None, :, :], (B, NL, NR, ns)),
-                            jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, NR, ns)),
-                        ],
-                        -1,
-                    )
-                    x_rl = jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, NR, lig_x.shape[-1]))
+                    if rl_idx is not None:
+                        xg_rl = neighbors.gather_nodes(lig_x, rl_idx)
+                        attr_rl = jnp.concatenate(
+                            [
+                                rl_attr_base,
+                                jnp.broadcast_to(
+                                    scal(rec_x)[:, :, None, :], (B, NR, KRL, ns)
+                                ),
+                                scal(xg_rl),
+                            ],
+                            -1,
+                        )
+                        x_rl = xg_rl
+                        rl_sh_use, rl_w_use = rl_sh, rl_w
+                    else:
+                        attr_rl = jnp.concatenate(
+                            [
+                                lr_attr,
+                                jnp.broadcast_to(scal(rec_x)[:, None, :, :], (B, NL, NR, ns)),
+                                jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, NR, ns)),
+                            ],
+                            -1,
+                        )
+                        x_rl = jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, NR, lig_x.shape[-1]))
+                        rl_sh_use, rl_w_use = lr_sh, lr_w
                     attr_ra = jnp.concatenate([ar_attr, scal(xg_ar), scal(atom_x)], -1)
                     specs += [
                         (conv("rec"), xg_rr, rnbr_sh, attr_rr, rnbr_w),  # rec intra
-                        (conv("rl"), x_rl, lr_sh, attr_rl, lr_w),        # lig -> rec
+                        (conv("rl"), x_rl, rl_sh_use, attr_rl, rl_w_use),  # lig -> rec
                         (conv("ra"), atom_x, ar_sh, attr_ra, 1.0),       # atom -> rec
                     ]
 
@@ -430,7 +509,10 @@ class AllAtomScoreModel(nn.Module):
                     rec_update = aggregate.masked_mean(m_rr, rnbr_ok, axis=2)
                     rec_update = bn("rec")(rec_update, g.rec_mask)
 
-                    rl_update = aggregate.masked_mean(m_rl, lr_ok, axis=1)
+                    if rl_idx is not None:
+                        rl_update = aggregate.masked_mean(m_rl, rl_ok, axis=2)
+                    else:
+                        rl_update = aggregate.masked_mean(m_rl, lr_ok, axis=1)
                     rl_update = bn("rl")(rl_update, g.rec_mask)
 
                     ra_update = aggregate.scatter_mean_batched(

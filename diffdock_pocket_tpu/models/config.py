@@ -49,6 +49,14 @@ class ModelConfig:
     lig_max_neighbors: int = 24
     atom_max_neighbors: int = 8
     cross_lig_atom_max_neighbors: int = 32
+    # lig<->rec cross families: 0 = dense [NL, NR] pair block (the
+    # reference's radius() with max_num_neighbors=10000, i.e. every
+    # in-cutoff pair, all_atom_score_model.py:545-547).  >0 = top-K nearest
+    # within the (dynamic) cutoff.  The dense block is >50% of model FLOPs
+    # at pocket sizes; capped variants trade a documented architecture
+    # deviation for ~1.5x inference throughput (see BASELINE.md).
+    cross_lig_rec_max_neighbors: int = 0
+    cross_rec_lig_max_neighbors: int = 0
     # pseudotorque bond-conv neighborhood cap.  The reference's radius()
     # calls for the bond conv graphs (all_atom_score_model.py:607,627) leave
     # torch_cluster's max_num_neighbors at its default of 32, so a top-32

@@ -81,6 +81,9 @@ class CGScoreModel(nn.Module):
             temb = jnp.concatenate(
                 [emb_fn(t[k]) for k in ("tr", "rot", "tor")], axis=-1
             )
+        elif cfg.asyncronous_noise_schedule:
+            # embed the base schedule time (reference score_model.py:485-486)
+            temb = emb_fn(t["t"])
         else:
             temb = emb_fn(t["tr"])
         D = temb.shape[-1]

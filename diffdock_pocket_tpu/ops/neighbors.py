@@ -59,6 +59,7 @@ def topk_neighbors(
     k: int,
     cutoff: float | Array | None = None,
     exclude_self: bool = False,
+    approx: bool = False,
 ) -> tuple[Array, Array]:
     """For each point in ``a``: indices of its K nearest valid points in ``b``.
 
@@ -78,7 +79,12 @@ def topk_neighbors(
             c = c[:, None, None]
         valid = valid & (d2 < c * c)
     masked = jnp.where(valid, d2, _BIG)
-    neg, idx = jax.lax.top_k(-masked, k)  # smallest distances
+    if approx and jax.default_backend() == "tpu":
+        # TPU-native approximate selection (recall >= ~0.95); avoids the
+        # sort-based top_k, whose cost inside lax.scan loops is pathological
+        neg, idx = jax.lax.approx_max_k(-masked, k)
+    else:
+        neg, idx = jax.lax.top_k(-masked, k)  # smallest distances
     k_valid = (-neg) < _BIG / 2
     return idx.astype(jnp.int32), k_valid
 

@@ -294,7 +294,16 @@ def backend_is_tpu() -> bool:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def fused_tp_messages(h, x_dst, sh, edge_weight, w2, b2,
                       in_irreps: str, out_irreps: str, interpret: bool = False):
-    """Differentiable fused TP conv (see _forward_impl for layout docs)."""
+    """Differentiable fused TP conv (see _forward_impl for layout docs).
+
+    GRADIENT SCOPE: the custom VJP returns exact cotangents for h, x_dst and
+    the MLP weights (the quantities parameter training differentiates), but
+    ZEROS for d(sh) and d(edge_weight).  Those inputs are functions of atom
+    POSITIONS, so any use that differentiates through positions into this op
+    (pose optimization, force-field-style training) would silently get wrong
+    gradients — the backward therefore guards against nonzero cotangent flow
+    by construction only when positions are held constant.  Use the unfused
+    XLA path (ops/tensor_product.py) for position gradients."""
     return _forward_impl(h, x_dst, sh, edge_weight, w2, b2,
                          in_irreps, out_irreps, interpret)
 

@@ -63,6 +63,10 @@ class DockingPipeline:
         buckets: Optional[dict] = None,
         schedule_steps: Optional[int] = None,  # full schedule length when
         # running only the first inference_steps of it (--actual_steps)
+        schedules: Optional[dict] = None,  # explicit full per-manifold
+        # schedules {manifold: [schedule_steps]}; overrides sigma_schedule
+        manifold_alphas: Optional[dict] = None,  # {"tr": (a, b), ...} for
+        # asynchronous inverse-Beta schedules (reference training.py:263-267)
     ):
         self.model_cfg = model_cfg
         self.variables = variables
@@ -78,14 +82,19 @@ class DockingPipeline:
         )
         self._so3 = tables.so3_tables()
         self._torus = tables.torus_tables()
-        full = sampling.make_schedules(
-            sigma_schedule, schedule_steps or sampler_cfg.inference_steps,
-            inf_sched_alpha, inf_sched_beta,
-        )
+        if schedules is None:
+            schedules = sampling.make_schedules(
+                sigma_schedule, schedule_steps or sampler_cfg.inference_steps,
+                inf_sched_alpha, inf_sched_beta,
+                asyncronous=getattr(model_cfg, "asyncronous_noise_schedule", False),
+                manifold_alphas=manifold_alphas,
+            )
         n = sampler_cfg.inference_steps
-        self.schedule = full[:n]
-        full_next = jnp.concatenate([full[1:], jnp.zeros((1,))])
-        self.schedule_next = full_next[:n]
+        self.schedule = {k: v[:n] for k, v in schedules.items()}
+        self.schedule_next = {
+            k: jnp.concatenate([v[1:], jnp.zeros((1,))])[:n]
+            for k, v in schedules.items()
+        }
         self._run_jit = jax.jit(self._run_batch)
         self._conf_jit = jax.jit(self._run_confidence) if self.confidence_model else None
 
@@ -290,7 +299,7 @@ def init_random_variables(model_cfg: ModelConfig, example_graph, seed: int = 0):
     benchmarking and before training produces checkpoints."""
     model = get_model(model_cfg)
     B = example_graph.lig_pos.shape[0]
-    t = {k: jnp.full((B,), 0.5) for k in ("tr", "rot", "tor", "sc_tor")}
+    t = {k: jnp.full((B,), 0.5) for k in ("tr", "rot", "tor", "sc_tor", "t")}
     if model_cfg.confidence_mode:
         sn = None
     else:

@@ -51,13 +51,38 @@ class SamplerConfig:
     svgd_tor_rel_weight: float = 1.0
 
 
-def make_schedules(sigma_schedule: str, inference_steps: int, inf_sched_alpha=1, inf_sched_beta=1):
-    """Per-manifold t schedules [steps] (all four share the expbeta schedule,
-    reference inference.py:457)."""
+MANIFOLDS = ("tr", "rot", "tor", "sc_tor")
+
+
+def make_schedules(
+    sigma_schedule: str,
+    inference_steps: int,
+    inf_sched_alpha=1,
+    inf_sched_beta=1,
+    asyncronous: bool = False,
+    manifold_alphas: Optional[dict] = None,  # {"tr": (alpha, beta), ...}
+):
+    """Per-manifold t schedules {manifold: [steps]}.
+
+    Default: all four manifolds share the expbeta schedule (reference
+    inference.py:110-120).  With ``asyncronous``, each manifold follows its
+    own inverse-Beta warp of the common base schedule (reference
+    utils/training.py:263-267 + diffusion_utils.py:120-121); the base
+    schedule is returned under the extra key "t" (the model's timestep
+    embedding consumes it, reference score_model.py:485-486)."""
     sched = diffusion.get_t_schedule(
         sigma_schedule, inference_steps, inf_sched_alpha, inf_sched_beta
     )
-    return jnp.asarray(sched)
+    if not asyncronous:
+        shared = jnp.asarray(sched)
+        return {m: shared for m in MANIFOLDS}
+    out = {"t": jnp.asarray(sched)}
+    for m in MANIFOLDS:
+        a, b = (manifold_alphas or {}).get(m, (1.0, 1.0))
+        out[m] = jnp.asarray(
+            diffusion.get_inverse_schedule(sched, a, b), jnp.float32
+        )
+    return out
 
 
 def randomize_position(
@@ -242,26 +267,41 @@ def reverse_diffusion(
     key: jax.Array,
     g: ComplexGraph,  # batched [S, ...] — already randomized
     score_fn: Callable,  # (graph, t_dict) -> (tr, rot, tor, sc) scores
-    schedule: Array,  # [steps] t values (shared by the four manifolds)
+    schedule,  # {manifold: [steps]} t values (or one shared [steps] array)
     sigma: SigmaConfig,
     cfg: SamplerConfig,
-    schedule_next: Optional[Array] = None,  # [steps] next-t values
+    schedule_next=None,  # same structure, next-t values
 ):
     """Run the full reverse SDE under one jit.  Returns (final graph,
     trajectory) where trajectory is (lig_pos [steps, S, NL, 3],
     atom_pos [steps, S, NA, 3]) if cfg.return_trajectory else None.
+
+    ``schedule`` carries one t array per manifold (asynchronous noise
+    schedules, reference utils/sampling.py:70-96: tr/rot/tor/sc schedules are
+    independent inputs and each manifold steps with its own t and dt); the
+    optional extra key "t" is the base schedule consumed by the model's
+    timestep embedding in asynchronous mode (reference set_time,
+    diffusion_utils.py:158-165).
 
     ``schedule_next`` supports the --actual_steps early-stop trick
     (reference inference.py:81,457): a truncated schedule whose dt values
     come from the full-length schedule rather than treating the truncation
     point as the final step."""
     steps = cfg.inference_steps
+    if not isinstance(schedule, dict):
+        schedule = {m: schedule for m in MANIFOLDS}
+    if schedule_next is not None and not isinstance(schedule_next, dict):
+        schedule_next = {m: schedule_next for m in MANIFOLDS}
+
+    keys = list(schedule.keys())
+    t_all = jnp.stack([schedule[k] for k in keys], axis=-1)  # [steps, M]
     if schedule_next is None:
-        t_next = jnp.concatenate([schedule[1:], jnp.zeros((1,))])
+        t_next = jnp.concatenate([t_all[1:], jnp.zeros((1, t_all.shape[1]))])
     else:
-        t_next = schedule_next
-    dt_all = schedule - t_next  # final step: dt = t (reference sampling.py:96)
+        t_next = jnp.stack([schedule_next[k] for k in keys], axis=-1)
+    dt_all = t_all - t_next  # final step: dt = t (reference sampling.py:96)
     is_last = jnp.arange(steps) == steps - 1
+    ki = {k: i for i, k in enumerate(keys)}
 
     sd_tr = _sigma_data_point(cfg.temp_sigma_data, sigma.tr_sigma_max, sigma.tr_sigma_min)
     sd_rot = _sigma_data_point(cfg.temp_sigma_data, sigma.rot_sigma_max, sigma.rot_sigma_min)
@@ -274,14 +314,18 @@ def reverse_diffusion(
 
     def step(carry, inp):
         gr, k = carry
-        t, dt, last = inp
+        t_vec, dt_vec, last = inp
         k, k_tr, k_rot, k_tor, k_sc = jax.random.split(k, 5)
 
-        tb = jnp.full((S,), t)
-        t_dict = {"tr": tb, "rot": tb, "tor": tb, "sc_tor": tb}
+        t_m = {m: t_vec[ki[m]] for m in keys}
+        t_dict = {m: jnp.full((S,), t_m[m]) for m in keys}
         tr_score, rot_score, tor_score, sc_score = score_fn(gr, t_dict)
 
-        s_tr, s_rot, s_tor, s_sc = sigma.t_to_sigma(t, t, t, t)
+        dt_tr, dt_rot = dt_vec[ki["tr"]], dt_vec[ki["rot"]]
+        dt_tor, dt_sc = dt_vec[ki["tor"]], dt_vec[ki["sc_tor"]]
+        s_tr, s_rot, s_tor, s_sc = sigma.t_to_sigma(
+            t_m["tr"], t_m["rot"], t_m["tor"], t_m["sc_tor"]
+        )
         g_tr = s_tr * math.sqrt(2 * math.log(sigma.tr_sigma_max / sigma.tr_sigma_min))
         g_rot = 2 * s_rot * math.sqrt(math.log(sigma.rot_sigma_max / sigma.rot_sigma_min))
         g_tor = s_tor * math.sqrt(2 * math.log(sigma.tor_sigma_max / sigma.tor_sigma_min))
@@ -298,17 +342,17 @@ def reverse_diffusion(
         z_sc = jax.random.normal(k_sc, (S, SC)) * noise_scale
 
         ts, tp = cfg.temp_sampling, cfg.temp_psi
-        tr_p = _perturbation(tr_score, s_tr, g_tr, dt, z_tr, ts[0], tp[0], sd_tr, cfg.ode)
-        rot_p = _perturbation(rot_score, s_rot, g_rot, dt, z_rot, ts[1], tp[1], sd_rot, cfg.ode)
-        tor_p = _perturbation(tor_score, s_tor, g_tor, dt, z_tor, ts[2], tp[2], sd_tor, cfg.ode)
-        sc_p = _perturbation(sc_score, s_sc, g_sc, dt, z_sc, ts[3], tp[3], sd_sc, cfg.ode)
+        tr_p = _perturbation(tr_score, s_tr, g_tr, dt_tr, z_tr, ts[0], tp[0], sd_tr, cfg.ode)
+        rot_p = _perturbation(rot_score, s_rot, g_rot, dt_rot, z_rot, ts[1], tp[1], sd_rot, cfg.ode)
+        tor_p = _perturbation(tor_score, s_tor, g_tor, dt_tor, z_tor, ts[2], tp[2], sd_tor, cfg.ode)
+        sc_p = _perturbation(sc_score, s_sc, g_sc, dt_sc, z_sc, ts[3], tp[3], sd_sc, cfg.ode)
 
         if cfg.svgd_weight > 0.0:
             dihedrals = dihedral_indices(gr)
             tr_sv, rot_sv, tor_sv = _svgd_updates(
                 gr, dihedrals,
                 (tr_score, rot_score, tor_score),
-                (g_tr, g_rot, g_tor), (dt, dt, dt), cfg,
+                (g_tr, g_rot, g_tor), (dt_tr, dt_rot, dt_tor), cfg,
             )
             if cfg.svgd_only:
                 tr_p = cfg.svgd_weight * tr_sv
@@ -336,7 +380,7 @@ def reverse_diffusion(
         return (gr, k), ys
 
     (g_final, _), traj = jax.lax.scan(
-        step, (g, key), (schedule, dt_all, is_last)
+        step, (g, key), (t_all, dt_all, is_last)
     )
     return g_final, traj
 
@@ -353,5 +397,5 @@ def run_confidence(
     target = g if filtering_graph is None else filtering_graph.replace(lig_pos=g.lig_pos)
     S = target.lig_pos.shape[0]
     zeros = jnp.zeros((S,))
-    t_dict = {"tr": zeros, "rot": zeros, "tor": zeros, "sc_tor": zeros}
+    t_dict = {"tr": zeros, "rot": zeros, "tor": zeros, "sc_tor": zeros, "t": zeros}
     return confidence_fn(target, t_dict)

@@ -246,6 +246,16 @@ class Trainer:
         validation complexes; rmsd + sc-rmsd + steric-clash metrics
         (reference utils/training.py:259-459)."""
         args = self.args
+        manifold_alphas = None
+        if self.model_cfg.asyncronous_noise_schedule:
+            # per-manifold inverse-Beta schedules at val docking (reference
+            # utils/training.py:263-267)
+            nc = self.noise_cfg
+            manifold_alphas = {
+                "tr": (nc.alpha, nc.beta), "rot": (nc.rot_alpha, nc.rot_beta),
+                "tor": (nc.tor_alpha, nc.tor_beta),
+                "sc_tor": (nc.sc_tor_alpha, nc.sc_tor_beta),
+            }
         pipe = DockingPipeline(
             model_cfg=self.model_cfg,
             variables={"params": params, "batch_stats": batch_stats},
@@ -256,6 +266,7 @@ class Trainer:
             ),
             samples_per_complex=args.inference_samples,
             batch_size=args.inference_samples,
+            manifold_alphas=manifold_alphas,
         )
         rmsds, sc_rmsds, clashes = [], [], []
         n = 0

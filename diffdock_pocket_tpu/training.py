@@ -53,13 +53,38 @@ class NoiseConfig:
     sc_tor_alpha: float = 1.0
     sc_tor_beta: float = 1.0
     separate_noise_schedule: bool = False
+    asyncronous_noise_schedule: bool = False
     no_torsion: bool = False
     flexible_sidechains: bool = True
 
 
-def sample_times(key: jax.Array, B: int, cfg: NoiseConfig) -> dict[str, Array]:
+def beta_ppf_grids(cfg: NoiseConfig, n: int = 4096) -> dict[str, np.ndarray]:
+    """Per-manifold inverse Beta CDF lookup grids over u in [0, 1]
+    (host-precomputed; jnp.interp replaces scipy's ppf inside jit —
+    reference get_inverse_schedule, diffusion_utils.py:120-121)."""
+    from scipy.stats import beta as beta_dist
+
+    u = np.linspace(0.0, 1.0, n)
+    out = {}
+    for m, (a, b) in {
+        "tr": (cfg.alpha, cfg.beta),
+        "rot": (cfg.rot_alpha, cfg.rot_beta),
+        "tor": (cfg.tor_alpha, cfg.tor_beta),
+        "sc_tor": (cfg.sc_tor_alpha, cfg.sc_tor_beta),
+    }.items():
+        out[m] = np.asarray(beta_dist.ppf(u, a=a, b=b), np.float32)
+    return out
+
+
+def sample_times(
+    key: jax.Array, B: int, cfg: NoiseConfig,
+    inv_grids: Optional[dict] = None,
+) -> dict[str, Array]:
     """t ~ Beta(alpha, beta) per complex; separate per-manifold draws when
-    separate_noise_schedule (reference NoiseTransform.get_time)."""
+    separate_noise_schedule; with asyncronous_noise_schedule a common base
+    t ~ U(0,1) is warped per manifold through the inverse Beta CDF and the
+    base is returned under "t" for the model's timestep embedding
+    (reference NoiseTransform.get_time, pdbbind.py:62-84)."""
     if cfg.separate_noise_schedule:
         ks = jax.random.split(key, 4)
         return {
@@ -68,6 +93,16 @@ def sample_times(key: jax.Array, B: int, cfg: NoiseConfig) -> dict[str, Array]:
             "tor": jax.random.beta(ks[2], cfg.tor_alpha, cfg.tor_beta, (B,)),
             "sc_tor": jax.random.beta(ks[3], cfg.sc_tor_alpha, cfg.sc_tor_beta, (B,)),
         }
+    if cfg.asyncronous_noise_schedule:
+        assert inv_grids is not None, "async schedules need beta_ppf_grids()"
+        t = jax.random.uniform(key, (B,))
+        u = jnp.linspace(0.0, 1.0, len(inv_grids["tr"]))
+        out = {
+            m: jnp.interp(t, u, jnp.asarray(inv_grids[m]))
+            for m in ("tr", "rot", "tor", "sc_tor")
+        }
+        out["t"] = t
+        return out
     t = jax.random.beta(key, cfg.alpha, cfg.beta, (B,))
     return {"tr": t, "rot": t, "tor": t, "sc_tor": t}
 
@@ -265,6 +300,10 @@ def make_train_step(
     grads (psum over `axis_name` when running data-parallel), adam + EMA."""
     so3 = tables.so3_tables()
     torus = tables.torus_tables()
+    inv_grids = (
+        beta_ppf_grids(noise_cfg)
+        if noise_cfg.asyncronous_noise_schedule else None
+    )
 
     def score_norms(t):
         _, s_rot, s_tor, s_sc = sigma.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
@@ -277,7 +316,7 @@ def make_train_step(
     def loss_fn(params, batch_stats, key, g):
         k_t, k_noise, k_drop = jax.random.split(key, 3)
         B = g.lig_pos.shape[0]
-        t = sample_times(k_t, B, noise_cfg)
+        t = sample_times(k_t, B, noise_cfg, inv_grids)
         g_noised, targets = apply_noise(k_noise, g, t, sigma, so3, torus, noise_cfg)
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -320,6 +359,10 @@ def make_eval_step(model, sigma: SigmaConfig, noise_cfg: NoiseConfig,
     """Validation loss step (EMA or raw params; running batch-norm stats)."""
     so3 = tables.so3_tables()
     torus = tables.torus_tables()
+    inv_grids = (
+        beta_ppf_grids(noise_cfg)
+        if noise_cfg.asyncronous_noise_schedule else None
+    )
 
     def score_norms(t):
         _, s_rot, s_tor, s_sc = sigma.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
@@ -332,7 +375,7 @@ def make_eval_step(model, sigma: SigmaConfig, noise_cfg: NoiseConfig,
     def eval_step(params, batch_stats, key, g, t_override=None):
         k_t, k_noise = jax.random.split(key)
         B = g.lig_pos.shape[0]
-        t = t_override if t_override is not None else sample_times(k_t, B, noise_cfg)
+        t = t_override if t_override is not None else sample_times(k_t, B, noise_cfg, inv_grids)
         g_noised, targets = apply_noise(k_noise, g, t, sigma, so3, torus, noise_cfg)
         preds = model.apply(
             {"params": params, "batch_stats": batch_stats},

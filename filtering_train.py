@@ -58,6 +58,12 @@ def get_parser():
     p.add_argument("--fixed_step", type=int, default=None,
                    help="with --trajectory_sampling: always use this step "
                         "(counted from the end) instead of a random one")
+    p.add_argument("--parallel", type=int, default=1,
+                   help="score `parallel` sampled poses per complex jointly; "
+                        "the affinity head aggregates over the group "
+                        "(reference filtering/dataset.py:348-366)")
+    p.add_argument("--parallel_aggregators", type=str,
+                   default="mean max min std")
     p.add_argument("--affinity_prediction", action="store_true",
                    help="jointly predict -logKd/Ki from the PDBBind index")
     p.add_argument("--affinity_index", type=str,
@@ -138,8 +144,38 @@ def main():
         df_train = df_train.iloc[: args.limit_complexes]
         df_val = df_val.iloc[: args.limit_complexes]
 
-    train_set = ds.DockingDataset(df_train, data_cfg, cache_dir=args.cache_path)
-    val_set = ds.DockingDataset(df_val, data_cfg, cache_dir=args.cache_path)
+    if args.parallel > 1 and score_cfg.flexible_sidechains:
+        raise SystemExit("--parallel > 1 is not supported with flexible "
+                         "sidechains (matches the reference)")
+
+    esm_embeddings = None
+    if args.esm_embeddings_path or score_cfg.esm_embeddings_dim:
+        from diffdock_pocket_tpu.data import esm as esmmod
+
+        names, paths, seen = [], [], set()
+        for df in (df_train, df_val):
+            for _, row in df.iterrows():
+                n = str(row["complex_name"])
+                if n not in seen:
+                    seen.add(n)
+                    names.append(n)
+                    paths.append(str(row["experimental_protein"]))
+        esm_embeddings = esmmod.embeddings_for_complexes(
+            names, paths, precomputed_path=args.esm_embeddings_path
+        )
+        if score_cfg.esm_embeddings_dim and (
+            esm_embeddings is None or any(n not in esm_embeddings for n in names)
+        ):
+            raise SystemExit(
+                f"the score model was trained with "
+                f"{score_cfg.esm_embeddings_dim}-d ESM embeddings; pass a "
+                "matching --esm_embeddings_path"
+            )
+
+    train_set = ds.DockingDataset(df_train, data_cfg, cache_dir=args.cache_path,
+                                  esm_embeddings=esm_embeddings)
+    val_set = ds.DockingDataset(df_val, data_cfg, cache_dir=args.cache_path,
+                                esm_embeddings=esm_embeddings)
 
     pipe = DockingPipeline(
         model_cfg=score_cfg,
@@ -190,12 +226,14 @@ def main():
         train_set, poses["train"], cutoff, args.sc_rmsd_classification_cutoff,
         balance=args.balance, affinities=affinities,
         trajectory_sampling=args.trajectory_sampling,
+        parallel=args.parallel,
     )
     val_fd = FilteringDataset(
         val_set, poses["val"], cutoff, args.sc_rmsd_classification_cutoff,
         affinities=affinities,
         trajectory_sampling=args.trajectory_sampling,
         fixed_step=args.fixed_step,
+        parallel=args.parallel,
     )
 
     n_outputs = 1 if not isinstance(cutoff, list) else len(cutoff) + 1
@@ -209,6 +247,8 @@ def main():
         affinity_prediction=args.affinity_prediction,
         confidence_dropout=args.confidence_dropout,
         confidence_no_batchnorm=args.confidence_no_batchnorm,
+        parallel=args.parallel,
+        parallel_aggregators=args.parallel_aggregators,
         atom_max_neighbors=score_cfg.atom_max_neighbors,
         esm_embeddings_dim=score_cfg.esm_embeddings_dim,
         sigma=score_cfg.sigma,
@@ -227,6 +267,7 @@ def main():
         confidence_loss_weight=args.confidence_loss_weight,
         affinity_loss_weight=args.affinity_loss_weight,
         data_cfg=data_cfg,
+        parallel=args.parallel,
     )
     trainer.fit(args.n_epochs)
 

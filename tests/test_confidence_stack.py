@@ -220,3 +220,62 @@ def test_trajectory_sampling(tmp_path):
                                 batch_size=2)
     params, _ = trainer.fit(n_epochs=1)
     assert params is not None
+
+
+def test_parallel_confidence_training(tmp_path):
+    """`parallel` pose groups end to end: dataset serves P poses per complex
+    with per-pose labels, the model's affinity head aggregates over the
+    group (reference filtering/dataset.py:348-366 +
+    all_atom_score_model.py:346-352)."""
+    rigid = dataclasses.replace(TINY, flexible_sidechains=False)
+
+    class RigidDataset(FakeDataset):
+        def __init__(self, n=2):
+            from diffdock_pocket_tpu.data.featurize import ComplexData
+            from diffdock_pocket_tpu.data.mol import Bond, Molecule
+
+            self.items = []
+            names = []
+            for i in range(n):
+                raw = make_raw_complex(seed=i, n_sc=0)
+                mol = Molecule(
+                    ["C"] * len(raw["lig_pos"]), raw["lig_pos"],
+                    [Bond(a, b, 1) for a, b in raw["lig_bond_index"][::2]],
+                )
+                self.items.append(ComplexData(
+                    raw=raw, name=f"cplx{i}", ligand=mol, receptor_arrays=None,
+                    flex_residue_ids=[], pocket_center=np.zeros(3),
+                ))
+                names.append(f"cplx{i}")
+            self.df = pd.DataFrame({"complex_name": names})
+
+    ds = RigidDataset(2)
+    g_ex = graphlib.replicate(graphlib.from_raw(ds.items[0].raw, SMALL_BUCKETS), 3)
+    variables = pipeline.init_random_variables(rigid, g_ex)
+    pipe = pipeline.DockingPipeline(
+        model_cfg=rigid, variables=variables,
+        sampler_cfg=sampling.SamplerConfig(
+            inference_steps=2, flexible_sidechains=False),
+        samples_per_complex=3, batch_size=3, buckets=SMALL_BUCKETS,
+    )
+    out = str(tmp_path / "poses")
+    path = generate_poses(pipe, ds, out, cache_creation_id=1, seed=0)
+    merged = combine_pose_caches([path])
+
+    affinities = {"cplx0": 5.0, "cplx1": 7.0}
+    fd = FilteringDataset(ds, merged, parallel=2, affinities=affinities)
+    rng = np.random.default_rng(0)
+    datas, ys, aff, t = fd.get(0, rng)
+    assert len(datas) == 2 and ys.shape == (2,)
+    # the two poses differ
+    assert not np.allclose(datas[0].raw["lig_pos"], datas[1].raw["lig_pos"])
+
+    cfg = dataclasses.replace(
+        rigid, confidence_mode=True, parallel=2, affinity_prediction=True,
+    )
+    trainer = ConfidenceTrainer(
+        cfg, fd, fd, run_dir=str(tmp_path / "conf"), batch_size=2,
+        parallel=2,
+    )
+    params, batch_stats = trainer.fit(n_epochs=1)
+    assert params is not None

@@ -142,3 +142,26 @@ def test_num_conformers_stored_and_sampled():
     g = Trainer._graph(data, np.random.default_rng(5))
     picked = np.asarray(g.lig_pos)[:nl]
     assert any(np.allclose(picked, confs[i], atol=1e-5) for i in range(3))
+
+
+def test_pdbqt_ligand_reading(tmp_path):
+    """pdbqt ligands: pdbqt-specific charge/type columns are stripped before
+    PDB parsing (reference process_mols.py:741-747), so elements come from
+    the atom name rather than the AD-type column."""
+    pdbqt = "\n".join([
+        "ROOT",
+        "ATOM      1  C1  LIG A   1       0.000   0.000   0.000  0.00  0.00    +0.123 C ",
+        "ATOM      2  O1  LIG A   1       1.400   0.000   0.000  0.00  0.00    -0.456 OA",
+        "ATOM      3  N1  LIG A   1       2.100   1.100   0.000  0.00  0.00    -0.300 NA",
+        "ENDROOT",
+        "TORSDOF 0",
+    ]) + "\n"
+    path = str(tmp_path / "lig.pdbqt")
+    with open(path, "w") as fh:
+        fh.write(pdbqt)
+    mol = sdf.read_molecule(path)
+    assert mol is not None and mol.n_atoms == 3
+    assert mol.symbols == ["C", "O", "N"]
+    import numpy as _np
+
+    _np.testing.assert_allclose(mol.coords[1], [1.4, 0.0, 0.0], atol=1e-3)

@@ -75,3 +75,54 @@ def test_parallel_confidence_affinity():
     assert affinity.shape == (B,)
     assert np.all(np.isfinite(np.asarray(filtering)))
     assert np.all(np.isfinite(np.asarray(affinity)))
+
+
+def test_capped_cross_families_match_dense_at_full_k():
+    """With top-K caps >= the real neighbor counts, the capped lig<->rec
+    cross families must reproduce the dense [NL, NR] pair block exactly
+    (mean aggregation is permutation-invariant), sharing the same params."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffdock_pocket_tpu import graph as graphlib, tables
+    from diffdock_pocket_tpu.models.config import ModelConfig
+    from diffdock_pocket_tpu.models.score_model import get_model
+    from diffdock_pocket_tpu.pipeline import init_random_variables
+    from synthetic import make_graph
+
+    base = ModelConfig(
+        ns=6, nv=2, num_conv_layers=2, sh_lmax=1, sigma_embed_dim=8,
+        distance_embed_dim=8, cross_distance_embed_dim=8,
+        dynamic_max_cross=True, all_atoms=True, flexible_sidechains=True,
+        atom_max_neighbors=4, lig_max_neighbors=6,
+        cross_lig_atom_max_neighbors=6, low_precision_weights=False,
+    )
+    g = graphlib.stack([make_graph(seed=0), make_graph(seed=1)])
+    NL, NR = g.lig_pos.shape[1], g.rec_pos.shape[1]
+    variables = init_random_variables(base, g)
+
+    so3, torus = tables.so3_tables(), tables.torus_tables()
+    t = {k: jnp.full((2,), 0.4) for k in ("tr", "rot", "tor", "sc_tor")}
+    _, s_rot, s_tor, s_sc = base.sigma.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
+    sn = {"rot": so3.score_norm(s_rot), "tor": torus.score_norm(s_tor),
+          "sc_tor": torus.score_norm(s_sc)}
+
+    dense = get_model(base).apply(variables, g, t, sn)
+    capped_cfg = dataclasses.replace(
+        base, cross_lig_rec_max_neighbors=NR, cross_rec_lig_max_neighbors=NL,
+    )
+    capped = get_model(capped_cfg).apply(variables, g, t, sn)
+    for a, b in zip(dense, capped):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    # a tight cap still runs and gives finite outputs
+    tight = dataclasses.replace(
+        base, cross_lig_rec_max_neighbors=4, cross_rec_lig_max_neighbors=4,
+    )
+    out = get_model(tight).apply(variables, g, t, sn)
+    for a in out:
+        assert np.isfinite(np.asarray(a)).all()

@@ -109,6 +109,9 @@ def parse_train_args(argv=None):
     p.add_argument("--smooth_edges", action="store_true")
     p.add_argument("--odd_parity", action="store_true")
     p.add_argument("--separate_noise_schedule", action="store_true")
+    p.add_argument("--asyncronous_noise_schedule", action="store_true",
+                   help="common base t warped per manifold through inverse "
+                        "Beta CDFs (reference parsing.py:100)")
     p.add_argument("--no_aminoacid_identities", action="store_true")
     # training
     p.add_argument("--n_epochs", type=int, default=750)
@@ -179,6 +182,7 @@ def build_configs(args):
         flexible_sidechains=args.flexible_sidechains,
         scale_by_sigma=args.scale_by_sigma,
         separate_noise_schedule=args.separate_noise_schedule,
+        asyncronous_noise_schedule=args.asyncronous_noise_schedule,
         no_aminoacid_identities=args.no_aminoacid_identities,
         atom_max_neighbors=args.atom_max_neighbors,
         esm_embeddings_dim=0,  # set in main() from the resolved embeddings
@@ -208,6 +212,7 @@ def build_configs(args):
         tor_alpha=args.tor_alpha, tor_beta=args.tor_beta,
         sc_tor_alpha=args.sc_tor_alpha, sc_tor_beta=args.sc_tor_beta,
         separate_noise_schedule=args.separate_noise_schedule,
+        asyncronous_noise_schedule=args.asyncronous_noise_schedule,
         no_torsion=args.no_torsion,
         flexible_sidechains=args.flexible_sidechains,
     )
