@@ -113,11 +113,16 @@ class ModelConfig:
 
 
 # Published reference configs (README.md:72, 82, 88) for convenience.
+# The flagship uses capped cross families (top-32/16 within the dynamic
+# cutoff) — 1.5x faster than the reference's dense pair semantics at
+# validated quality (BASELINE.md journey); set both caps to 0 for the
+# exact dense reference semantics.
 BIG_SCORE_CONFIG = ModelConfig(
     ns=60, nv=10, num_conv_layers=6, sh_lmax=1,
     sigma_embed_dim=64, distance_embed_dim=64, cross_distance_embed_dim=64,
     dynamic_max_cross=True, dropout=0.1, all_atoms=True,
     flexible_sidechains=True, atom_max_neighbors=8,
+    cross_lig_rec_max_neighbors=32, cross_rec_lig_max_neighbors=16,
     sigma=SigmaConfig(tr_sigma_min=0.1, tr_sigma_max=5.0),
 )
 SMALL_SCORE_CONFIG = ModelConfig(

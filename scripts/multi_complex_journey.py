@@ -78,13 +78,16 @@ def subset_molecule(mol: Molecule, keep: list[int]) -> Molecule:
 
 
 def make_fragments(mol: Molecule, n: int) -> list[Molecule]:
-    """n fragments: the full ligand, then repeatedly strip 2 terminal heavy
-    atoms (degree-1 in the heavy-atom graph)."""
+    """n DISTINCT fragments: fragment i strips i terminal heavy atoms
+    (degree-1 in the heavy-atom graph, seed-dependent random order) from the
+    full ligand — each is a connected, chemically valid substructure of a
+    different size, so every complex has a distinct ligand graph."""
     frags = [mol]
-    cur = mol
-    rng = np.random.default_rng(0)
-    while len(frags) < n:
-        for _ in range(2):
+    for i in range(1, n):
+        rng = np.random.default_rng(i)
+        cur = mol
+        removed = 0
+        while removed < i:
             deg = np.zeros(cur.n_atoms, int)
             for b in cur.bonds:
                 deg[b.a] += 1
@@ -93,8 +96,11 @@ def make_fragments(mol: Molecule, n: int) -> list[Molecule]:
             if not len(terminals):
                 break
             drop = int(terminals[rng.integers(len(terminals))])
-            cur = subset_molecule(cur, [i for i in range(cur.n_atoms) if i != drop])
+            cur = subset_molecule(cur, [j for j in range(cur.n_atoms) if j != drop])
+            removed += 1
         frags.append(cur)
+    sizes = [f.n_atoms for f in frags]
+    assert len(set(sizes)) == len(sizes), f"fragments not distinct: {sizes}"
     return frags
 
 

@@ -100,6 +100,13 @@ def parse_train_args(argv=None):
     p.add_argument("--cross_distance_embed_dim", type=int, default=64)
     p.add_argument("--dynamic_max_cross", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--cross_max_distance", type=float, default=80)
+    p.add_argument("--cross_lig_rec_max_neighbors", type=int, default=32,
+                   help="top-K rec neighbors per ligand atom for the cross "
+                        "conv families (0 = dense [NL,NR] pair block, the "
+                        "reference's uncapped radius(); capped is ~1.5x "
+                        "faster at matched quality — BASELINE.md)")
+    p.add_argument("--cross_rec_lig_max_neighbors", type=int, default=16,
+                   help="top-K lig neighbors per residue (0 = dense)")
     p.add_argument("--lig_max_radius", type=float, default=5)
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--no_batch_norm", action="store_true")
@@ -177,6 +184,8 @@ def build_configs(args):
         rec_max_radius=args.receptor_radius,
         cross_max_distance=args.cross_max_distance,
         dynamic_max_cross=args.dynamic_max_cross,
+        cross_lig_rec_max_neighbors=args.cross_lig_rec_max_neighbors,
+        cross_rec_lig_max_neighbors=args.cross_rec_lig_max_neighbors,
         smooth_edges=args.smooth_edges, odd_parity=args.odd_parity,
         all_atoms=args.all_atoms, no_torsion=args.no_torsion,
         flexible_sidechains=args.flexible_sidechains,
