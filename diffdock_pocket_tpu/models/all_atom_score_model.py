@@ -161,6 +161,7 @@ class AllAtomScoreModel(nn.Module):
         lnbr_idx, lnbr_ok = neighbors.topk_neighbors(
             g.lig_pos, g.lig_mask, g.lig_pos, g.lig_mask,
             cfg.lig_max_neighbors, cutoff=cfg.lig_max_radius, exclude_self=True,
+            approx=cfg.approx_neighbor_search,
         )
         lnbr_vec = neighbors.gather_nodes(g.lig_pos, lnbr_idx) - g.lig_pos[:, :, None, :]
         lnbr_d = jnp.linalg.norm(lnbr_vec, axis=-1)
@@ -198,6 +199,7 @@ class AllAtomScoreModel(nn.Module):
         anbr_idx, anbr_ok = neighbors.topk_neighbors(
             g.atom_pos, g.atom_mask, g.atom_pos, g.atom_mask,
             cfg.atom_max_neighbors, exclude_self=True,
+            approx=cfg.approx_neighbor_search,
         )
         anbr_vec = neighbors.gather_nodes(g.atom_pos, anbr_idx) - g.atom_pos[:, :, None, :]
         anbr_d = jnp.linalg.norm(anbr_vec, axis=-1)
@@ -285,6 +287,7 @@ class AllAtomScoreModel(nn.Module):
         la_idx, la_ok = neighbors.topk_neighbors(
             g.lig_pos, g.lig_mask, g.atom_pos, g.atom_mask,
             cfg.cross_lig_atom_max_neighbors, cutoff=cfg.lig_max_radius,
+            approx=cfg.approx_neighbor_search,
         )
         la_vec = neighbors.gather_nodes(g.atom_pos, la_idx) - g.lig_pos[:, :, None, :]
         la_d = jnp.linalg.norm(la_vec, axis=-1)
@@ -703,7 +706,8 @@ class AllAtomScoreModel(nn.Module):
         bond_vec = pv - pu
 
         idx, ok = neighbors.topk_neighbors(
-            bond_pos, bond_mask, pos, mask, K, cutoff=cfg.lig_max_radius
+            bond_pos, bond_mask, pos, mask, K, cutoff=cfg.lig_max_radius,
+            approx=cfg.approx_neighbor_search,
         )  # [B, T, K]
         vec = neighbors.gather_nodes(pos, idx) - bond_pos[:, :, None, :]
         d = jnp.linalg.norm(vec, axis=-1)

@@ -57,6 +57,11 @@ class ModelConfig:
     # deviation for ~1.5x inference throughput (see BASELINE.md).
     cross_lig_rec_max_neighbors: int = 0
     cross_rec_lig_max_neighbors: int = 0
+    # TPU-native approx_max_k (recall >= ~0.95) for ALL neighbor selections
+    # instead of exact top_k: exact top_k's sort lowering is pathologically
+    # slow inside the sampling lax.scan (BASELINE.md); models are trained
+    # and served with the same setting (part of the yml contract).
+    approx_neighbor_search: bool = False
     # pseudotorque bond-conv neighborhood cap.  The reference's radius()
     # calls for the bond conv graphs (all_atom_score_model.py:607,627) leave
     # torch_cluster's max_num_neighbors at its default of 32, so a top-32
@@ -123,6 +128,7 @@ BIG_SCORE_CONFIG = ModelConfig(
     dynamic_max_cross=True, dropout=0.1, all_atoms=True,
     flexible_sidechains=True, atom_max_neighbors=8,
     cross_lig_rec_max_neighbors=32, cross_rec_lig_max_neighbors=16,
+    approx_neighbor_search=True,
     sigma=SigmaConfig(tr_sigma_min=0.1, tr_sigma_max=5.0),
 )
 SMALL_SCORE_CONFIG = ModelConfig(

@@ -43,7 +43,55 @@ def get_parser():
                    help="txt of complex names without receptor overlap with "
                         "the training set; adds a no_overlap_* metric slice "
                         "(reference evaluate_files.py:257-280)")
+    p.add_argument("--ecdf_plot", type=str, default=None,
+                   help="write an RMSD ECDF plot (html via plotly when "
+                        "installed, else a matplotlib png/svg; reference "
+                        "evaluate_files.py:446-474)")
+    p.add_argument("--wandb", action="store_true",
+                   help="log the summary metrics (+ ECDF image) to wandb")
     return p
+
+
+def write_ecdf(path: str, per_complex_rmsds, names):
+    """Top-1 RMSD ECDF (reference px.ecdf, evaluate_files.py:446-474)."""
+    top1 = np.asarray([r[0] for r in per_complex_rmsds if len(r)])
+    top1 = top1[np.isfinite(top1)]
+    if not len(top1):
+        return None
+    try:
+        import plotly.express as px
+
+        fig = px.ecdf(x=np.minimum(top1, 10.0),
+                      labels={"x": "top-1 RMSD (A)"})
+        fig.update_layout(title="Top-1 ligand RMSD ECDF")
+        if not path.endswith(".html"):
+            path += ".html"
+        fig.write_html(path)
+        return path
+    except ImportError:
+        pass
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        xs = np.sort(np.minimum(top1, 10.0))
+        ys = np.arange(1, len(xs) + 1) / len(xs)
+        fig, ax = plt.subplots(figsize=(5, 4))
+        ax.step(xs, ys, where="post")
+        ax.axvline(2.0, color="gray", ls="--", lw=1)
+        ax.set_xlabel("top-1 RMSD (A, capped at 10)")
+        ax.set_ylabel("fraction of complexes")
+        ax.set_title("Top-1 ligand RMSD ECDF")
+        if not path.endswith((".png", ".svg", ".pdf")):
+            path += ".png"
+        fig.savefig(path, bbox_inches="tight", dpi=150)
+        plt.close(fig)
+        return path
+    except ImportError:
+        logger.warning("neither plotly nor matplotlib available; no ECDF plot")
+        return None
 
 
 BACKBONE = {"CA", "N", "C", "O", "OXT"}
@@ -233,6 +281,23 @@ def main():
     np.save(os.path.join(args.results_path, "min_self_distances.npy"),
             np.asarray(per_complex_min_self, dtype=object), allow_pickle=True)
     np.save(os.path.join(args.results_path, "names.npy"), np.asarray(names))
+    plot_path = None
+    if args.ecdf_plot:
+        plot_path = write_ecdf(args.ecdf_plot, per_complex_rmsds, names)
+        if plot_path:
+            logger.info("wrote ECDF plot to %s", plot_path)
+    if args.wandb:
+        try:
+            import wandb
+
+            wandb.init(project="diffdock_pocket_tpu_eval",
+                       name=os.path.basename(args.results_path.rstrip("/")))
+            wandb.log(summary)
+            if plot_path and plot_path.endswith((".png", ".svg")):
+                wandb.log({"rmsd_ecdf": wandb.Image(plot_path)})
+        except ImportError:
+            logger.warning("wandb requested but not installed; skipping")
+
     out_json = args.out_json or os.path.join(args.results_path, "summary.json")
     with open(out_json, "w") as fh:
         json.dump(summary, fh, indent=2)

@@ -1,0 +1,228 @@
+"""Apo -> holo side-chain journey: the flexibility story end to end.
+
+The reference's core use case is docking into COMPUTATIONAL (apo/ESMFold)
+structures whose pocket side chains are wrong, training with side-chain
+conformer matching against the crystal (holo) structure
+(datasets/sidechain_conformer_matching.py + pdbbind.py:640).  This journey
+exercises that path on hardware with a synthetic apo:
+
+1. derive an apo-like receptor from the vendored 3dpf crystal by perturbing
+   the pocket side-chain chi angles (wrapped-normal, sigma=0.6 rad);
+2. featurize through the REAL apo training path (computational_protein +
+   conformer_match_sidechains + match_max_rmsd gate) and report the
+   matching improvement;
+3. train a score model on apo-input fragment complexes (ligand fragments as
+   in multi_complex_journey), dock held-out fragments, and measure
+   side-chain RMSD of the PREDICTED pocket vs the HOLO truth against the
+   apo baseline — the model must move side chains toward the crystal.
+
+Run on TPU: python scripts/apo_journey.py
+Writes results/apo_journey.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from diffdock_pocket_tpu import runtime
+
+runtime.setup()
+
+import dataclasses
+
+import jax
+import numpy as np
+import optax
+
+from diffdock_pocket_tpu import (
+    evaluation, graph as graphlib, pipeline, sampling, training, visualise,
+)
+from diffdock_pocket_tpu import diffusion
+from diffdock_pocket_tpu.data import featurize
+from diffdock_pocket_tpu.data import dataset as dsmod
+from diffdock_pocket_tpu.data.sdf import read_molecule
+from diffdock_pocket_tpu.models.config import ModelConfig
+from diffdock_pocket_tpu.models.score_model import get_model
+
+from multi_complex_journey import make_fragments  # noqa: E402 (same dir)
+
+EX = os.path.join(os.path.dirname(__file__), os.pardir, "example_data")
+STEPS = int(os.environ.get("STEPS", "3000"))
+SPC = int(os.environ.get("SPC", "16"))
+N_FRAGMENTS = int(os.environ.get("N_FRAGMENTS", "6"))
+HELD_OUT = [2, 5] if N_FRAGMENTS >= 6 else [N_FRAGMENTS - 1]
+PERTURB_SIGMA = float(os.environ.get("PERTURB_SIGMA", "0.6"))
+
+CFG = ModelConfig(
+    ns=24, nv=6, num_conv_layers=4, sh_lmax=1,
+    sigma_embed_dim=32, distance_embed_dim=32, cross_distance_embed_dim=32,
+    dynamic_max_cross=True, dropout=0.0, all_atoms=True,
+    flexible_sidechains=True, atom_max_neighbors=8,
+    cross_lig_rec_max_neighbors=32, cross_rec_lig_max_neighbors=16,
+    approx_neighbor_search=True,
+)
+
+
+def make_apo(protein_path: str, ligand_path: str, out_path: str, rng):
+    """Perturb pocket side-chain chi angles of the crystal -> apo-like PDB
+    (full protein, same atoms/ordering as the cleaned holo)."""
+    data = featurize.build_complex(
+        ligand_path, protein_path,
+        featurize.DataConfig(pocket_reduction=False, keep_local_structures=True),
+        name="holo_full",
+    )
+    raw = data.raw
+    sc = raw["sc_bond_index"]
+    assert sc.size, "no flexible side chains found"
+    updates = rng.normal(0.0, PERTURB_SIGMA, len(sc)).astype(np.float32)
+    apo_atom = np.asarray(diffusion.apply_sidechain_torsion_updates(
+        raw["atom_pos"], sc, raw["sc_rotate_mask"], updates,
+        np.ones(len(sc), bool),
+    ))
+    flex_mask = raw["sc_rotate_mask"].any(axis=0)
+    before = evaluation.rmsd(apo_atom[flex_mask], raw["atom_pos"][flex_mask])
+    visualise.write_receptor_with_sidechains(
+        out_path, data.receptor_arrays, apo_atom, raw["original_center"]
+    )
+    return before, int(flex_mask.sum())
+
+
+def main():
+    t_start = time.time()
+    out = {}
+    rng = np.random.default_rng(0)
+    holo = os.path.join(EX, "3dpf_protein.pdb")
+    apo_path = os.path.join("results", "apo_3dpf.pdb")
+    os.makedirs("results", exist_ok=True)
+
+    apo_sc_rmsd, n_flex_atoms = make_apo(
+        holo, os.path.join(EX, "3dpf_ligand.sdf"), apo_path, rng
+    )
+    print(f"apo perturbation: {n_flex_atoms} flexible atoms, "
+          f"sc-RMSD to holo {apo_sc_rmsd:.2f} A")
+    out["apo_sc_rmsd_before"] = float(apo_sc_rmsd)
+
+    # --- featurize through the apo training path ---------------------------
+    lig = read_molecule(os.path.join(EX, "3dpf_ligand.sdf"), remove_hs=True)
+    frags = make_fragments(lig, N_FRAGMENTS)
+    dc = featurize.DataConfig(
+        matching=True, keep_local_structures=False,
+        conformer_match_sidechains=True, conformer_match_score="exp",
+        match_max_rmsd=2.0,
+    )
+    dc_holo = featurize.DataConfig(matching=False, keep_local_structures=True)
+    complexes, holo_truth = [], []
+    match_rmsds = []
+    for i, f in enumerate(frags):
+        t0 = time.time()
+        data = featurize.build_complex(
+            f, holo, dc, name=f"apo_frag{i}",
+            computational_protein=apo_path,
+            rng=np.random.default_rng(200 + i),
+        )
+        # holo ground truth with the same pocket/extraction (same ligand
+        # anchor -> same residues, same atom order)
+        truth = featurize.build_complex(f, holo, dc_holo, name=f"holo_frag{i}")
+        assert truth.raw["atom_pos"].shape == data.raw["atom_pos"].shape
+        complexes.append(data)
+        holo_truth.append(truth)
+        match_rmsds.append(data.match_rmsd)
+        print(f"featurized apo frag{i}: match_rmsd {data.match_rmsd} "
+              f"in {time.time()-t0:.1f}s")
+    out["match_rmsds"] = [float(m) if m is not None else None for m in match_rmsds]
+
+    train_cs = [c for i, c in enumerate(complexes) if i not in HELD_OUT]
+    held = [(complexes[i], holo_truth[i]) for i in HELD_OUT]
+
+    # --- train on apo inputs ----------------------------------------------
+    model = get_model(CFG)
+    optimizer = optax.adam(1e-3)
+    step_fn = jax.jit(training.make_train_step(
+        model, optimizer, CFG.sigma, training.NoiseConfig()))
+    batches = list(dsmod.bucketed_batches(train_cs, batch_size=len(train_cs)))
+    graphs = [graphlib.stack([graphlib.from_raw(c.raw) for c in b]) for b in batches]
+    print(f"{len(graphs)} bucket group(s) over {len(train_cs)} apo complexes")
+    variables = pipeline.init_random_variables(CFG, graphs[0])
+    state = training.create_train_state(variables, optimizer)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    for i in range(STEPS):
+        for g in graphs:
+            key, sub = jax.random.split(key)
+            state, aux = step_fn(state, sub, g)
+        if i % 500 == 0 or i == STEPS - 1:
+            print(f"step {i:5d} loss {float(aux['loss']):.4f} ({time.time()-t0:.0f}s)")
+
+    pipe = pipeline.DockingPipeline(
+        model_cfg=CFG,
+        variables={"params": state.ema.params, "batch_stats": state.batch_stats},
+        sampler_cfg=sampling.SamplerConfig(inference_steps=20),
+        samples_per_complex=SPC, batch_size=SPC,
+    )
+
+    # --- held-out: ligand RMSD + side-chain recovery toward holo -----------
+    lig_best, sc_pred_vs_holo, sc_apo_vs_holo = [], [], []
+    sc_rand_vs_holo, sc_pred_median = [], []
+    for data, truth in held:
+        key, sub = jax.random.split(key)
+        result = pipe.dock(data, sub)
+        nl = len(data.raw["lig_pos"])
+        na = len(data.raw["atom_pos"])
+        true_lig = data.raw["lig_orig_pos"]
+        rmsds = np.asarray([
+            evaluation.rmsd(result.lig_pos[s][:nl], true_lig) for s in range(SPC)
+        ])
+        lig_best.append(rmsds.min())
+        flex = data.raw["sc_rotate_mask"].any(axis=0)
+        holo_atoms = truth.raw["atom_pos"]
+        # matched-input side chains vs holo (DE matching inverts a pure
+        # chi-angle perturbation almost exactly, so this is near 0 for the
+        # synthetic apo — real apo adds backbone error on top)
+        base = evaluation.rmsd(data.raw["atom_pos"][flex], holo_atoms[flex])
+        # the baseline the model must beat: side chains start at UNIFORM
+        # random chi angles at t=1 (sampling.randomize_position)
+        sck = np.random.default_rng(0)
+        rand_updates = sck.uniform(-np.pi, np.pi,
+                                   len(data.raw["sc_bond_index"])).astype(np.float32)
+        rand_atoms = np.asarray(diffusion.apply_sidechain_torsion_updates(
+            data.raw["atom_pos"], data.raw["sc_bond_index"],
+            data.raw["sc_rotate_mask"], rand_updates,
+            np.ones(len(data.raw["sc_bond_index"]), bool)))
+        rand_base = evaluation.rmsd(rand_atoms[flex], holo_atoms[flex])
+        # best predicted side chains vs holo over samples
+        preds = np.asarray([
+            evaluation.rmsd(result.atom_pos[s][:na][flex], holo_atoms[flex])
+            for s in range(SPC)
+        ])
+        sc_apo_vs_holo.append(base)
+        sc_pred_vs_holo.append(preds.min())
+        sc_rand_vs_holo.append(rand_base)
+        sc_pred_median.append(float(np.median(preds)))
+        print(f"{data.name}: lig best {rmsds.min():.2f} A | sc-vs-holo "
+              f"matched-input {base:.3f}, randomized {rand_base:.2f} -> "
+              f"best predicted {preds.min():.2f} A (median {np.median(preds):.2f})")
+
+    out.update({
+        "held_out_lig_best_rmsds": [float(x) for x in lig_best],
+        "valinf_rmsds_lt2": float(np.mean(np.asarray(lig_best) < 2.0)),
+        "sc_rmsd_matched_input_vs_holo": [float(x) for x in sc_apo_vs_holo],
+        "sc_rmsd_randomized_vs_holo": [float(x) for x in sc_rand_vs_holo],
+        "sc_rmsd_best_pred_vs_holo": [float(x) for x in sc_pred_vs_holo],
+        "sc_rmsd_median_pred_vs_holo": sc_pred_median,
+        # the model must fold randomized side chains back toward the crystal,
+        # beating both the scrambled start and the unmatched apo (1.59 A)
+        "sc_recovered": bool(
+            np.mean(sc_pred_vs_holo) < min(np.mean(sc_rand_vs_holo),
+                                           out["apo_sc_rmsd_before"])
+        ),
+        "wall_time_s": round(time.time() - t_start, 1),
+    })
+    with open("results/apo_journey.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
