@@ -124,6 +124,10 @@ def _round_up(n: int, buckets: tuple[int, ...]) -> int:
 # inside the largest bucket; jit compiles once per (NL, NR, NA, T, S, EB)
 # combination, so ladders are kept short.
 DEFAULT_BUCKETS = {
+    # NOTE: finer rungs (lig 48 / rec 160) were measured to cut model-fwd
+    # time 12% via less padding, but EVERY compile of those shapes took
+    # ~25 min on the bench chip (vs 2-8 min for these) — unacceptable per
+    # bucket at dataset scale, so the coarser ladder stays
     "lig": (32, 64, 96, 128),
     "rec": (96, 192, 288, 384),
     "atom": (384, 768, 1152, 1536),

@@ -42,6 +42,26 @@ class DockingResult:
     lig_mask: np.ndarray
     atom_mask: np.ndarray
     trajectory: Optional[tuple] = None  # (lig [steps,S,NL,3], atom [steps,S,NA,3])
+    affinity: Optional[np.ndarray] = None  # [S] ranked (affinity-head models)
+
+
+def split_confidence_output(conf: Optional[np.ndarray], conf_cfg) -> tuple:
+    """Raw confidence-model output -> (ranking score [S], affinity [S]|None).
+
+    Affinity-head models append a last column (confidence/train.py
+    _split_affinity); multi-cutoff (binned) models rank by the first logit
+    (reference inference.py:212-213 confidence[:, 0])."""
+    if conf is None:
+        return None, None
+    aff = None
+    if conf.ndim == 2 and getattr(conf_cfg, "affinity_prediction", False):
+        aff = conf[:, -1]
+        conf = conf[:, :-1]
+        if conf.shape[-1] == 1:
+            conf = conf[:, 0]
+    if conf.ndim == 2:
+        conf = conf[:, 0]
+    return conf, aff
 
 
 class DockingPipeline:
@@ -170,6 +190,7 @@ class DockingPipeline:
         lig_pos = np.concatenate(lig_out)[:S]
         atom_pos = np.concatenate(atom_out)[:S]
         conf = np.concatenate(confs)[:S] if confs else None
+        conf, aff = split_confidence_output(conf, self.confidence_cfg)
         trajectory = None
         if trajs:
             trajectory = tuple(np.concatenate([t[i] for t in trajs], axis=1)[:, :S] for i in range(2))
@@ -188,6 +209,7 @@ class DockingPipeline:
             lig_mask=np.asarray(g_np.lig_mask),
             atom_mask=np.asarray(g_np.atom_mask),
             trajectory=tuple(t[:, order] for t in trajectory) if trajectory else None,
+            affinity=aff[order] if aff is not None else None,
         )
 
 
@@ -280,6 +302,7 @@ class DockingPipeline:
             lig_pos = np.stack(lig_acc[ci])[:S]
             atom_pos = np.stack(atom_acc[ci])[:S]
             conf = np.stack(conf_acc[ci])[:S] if conf_acc[ci] else None
+            conf, aff = split_confidence_output(conf, self.confidence_cfg)
             order = np.argsort(-conf) if conf is not None else np.arange(S)
             g_np = jax.device_get(graphs[ci])
             results.append(DockingResult(
@@ -290,6 +313,7 @@ class DockingPipeline:
                 center=np.asarray(data.raw["original_center"]),
                 lig_mask=np.asarray(g_np.lig_mask),
                 atom_mask=np.asarray(g_np.atom_mask),
+                affinity=aff[order] if aff is not None else None,
             ))
         return results
 
