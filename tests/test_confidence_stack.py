@@ -279,3 +279,29 @@ def test_parallel_confidence_training(tmp_path):
     )
     params, batch_stats = trainer.fit(n_epochs=1)
     assert params is not None
+
+
+def test_split_confidence_output_variants():
+    """Ranking-score extraction from raw confidence outputs: plain [S],
+    affinity-head [S, 2] (last col = affinity), binned [S, K] (rank by the
+    first logit, reference inference.py:212-213)."""
+    from types import SimpleNamespace
+
+    from diffdock_pocket_tpu.pipeline import split_confidence_output
+
+    plain = np.asarray([0.3, -0.1, 0.5])
+    c, a = split_confidence_output(plain, None)
+    assert a is None and np.array_equal(c, plain)
+
+    aff_cfg = SimpleNamespace(affinity_prediction=True)
+    two = np.asarray([[0.3, 5.0], [-0.1, 6.0]])
+    c, a = split_confidence_output(two, aff_cfg)
+    assert np.allclose(c, [0.3, -0.1]) and np.allclose(a, [5.0, 6.0])
+
+    binned_cfg = SimpleNamespace(affinity_prediction=False)
+    binned = np.asarray([[0.9, 0.1, 0.0], [0.2, 0.5, 0.3]])
+    c, a = split_confidence_output(binned, binned_cfg)
+    assert np.allclose(c, [0.9, 0.2]) and a is None
+
+    c, a = split_confidence_output(None, None)
+    assert c is None and a is None
