@@ -140,8 +140,16 @@ class Trainer:
         if key not in cache:
             cache[key] = dataset.preprocess_all()
             self._complex_cache = cache
+        complexes = cache[key]
+        # each training complex appears `multiplicity` times per epoch with
+        # independent noise draws (the reference parses --multiplicity and
+        # stores it on PDBBind but never reads it, pdbbind.py:168 — here it
+        # actually works); only applied when shuffling (training)
+        mult = getattr(self.args, "multiplicity", 1) or 1
+        if rng is not None and mult > 1:
+            complexes = list(complexes) * mult
         for batch in ds.bucketed_batches(
-            cache[key], self.args.batch_size, shuffle_rng=rng
+            complexes, self.args.batch_size, shuffle_rng=rng
         ):
             yield graphlib.stack([self._graph(c, rng) for c in batch]), batch
 
