@@ -42,6 +42,11 @@ from multi_complex_journey import ListDataset, make_fragments  # noqa: E402
 EX = os.path.join(os.path.dirname(__file__), os.pardir, "example_data")
 STEPS = int(os.environ.get("STEPS", "3000"))
 SPC = int(os.environ.get("SPC", "16"))
+GEN_SPC = int(os.environ.get("GEN_SPC", "16"))
+CONF_NS = int(os.environ.get("CONF_NS", "24"))
+CONF_NV = int(os.environ.get("CONF_NV", "6"))
+CONF_LAYERS = int(os.environ.get("CONF_LAYERS", "4"))
+CONF_EPOCHS = int(os.environ.get("CONF_EPOCHS", "60"))
 N_FRAGMENTS = 8
 HELD_OUT_FRAGS = {3, 6}
 
@@ -125,7 +130,7 @@ def main():
     gen_pipe = pipeline.DockingPipeline(
         model_cfg=CFG, variables=ema_vars,
         sampler_cfg=sampling.SamplerConfig(inference_steps=20),
-        samples_per_complex=8, batch_size=8,
+        samples_per_complex=GEN_SPC, batch_size=GEN_SPC,
     )
     train_ds = ListDataset(train_cs)
     workdir = os.path.join("results", "ext_journey")
@@ -133,14 +138,15 @@ def main():
                                cache_creation_id=1, seed=0)
     poses = combine_pose_caches([pose_path])
     conf_cfg = dataclasses.replace(
-        CFG, ns=16, nv=4, num_conv_layers=3, confidence_mode=True,
+        CFG, ns=CONF_NS, nv=CONF_NV, num_conv_layers=CONF_LAYERS,
+        confidence_mode=True,
     )
     trainer = ConfidenceTrainer(
         conf_cfg, FilteringDataset(train_ds, poses),
         FilteringDataset(train_ds, poses),
         run_dir=os.path.join(workdir, "conf"), batch_size=8, lr=3e-4,
     )
-    params, batch_stats = trainer.fit(n_epochs=30)
+    params, batch_stats = trainer.fit(n_epochs=CONF_EPOCHS)
 
     # ---- held-out ranked docking -----------------------------------------
     pipe = pipeline.DockingPipeline(
