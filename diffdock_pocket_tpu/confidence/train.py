@@ -153,6 +153,16 @@ class ConfidenceTrainer:
         data_cfg=None,
         parallel: int = 1,
     ):
+        if cfg.parallel > 1 and not getattr(cfg, "affinity_prediction", False):
+            # parallel mode only defines the affinity aggregation head; the
+            # per-pose logits come back flattened [B*P] while labels are
+            # [B, P], so without this check the loss fails at jit trace with
+            # an opaque broadcast error
+            raise ValueError(
+                "parallel > 1 requires affinity_prediction (the parallel "
+                "aggregators only feed the affinity head; reference "
+                "models/all_atom_score_model.py:346-352)"
+            )
         self.cfg = cfg
         self.train_data = train_data
         self.val_data = val_data

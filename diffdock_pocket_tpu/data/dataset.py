@@ -153,17 +153,29 @@ class DockingDataset:
         self.require_ligand = require_ligand
         # embeddings change the featurized output (rec_esm width), so they
         # are part of the cache key (the reference encodes esm_embeddings
-        # into the cache dir name, pdbbind.py:229)
+        # into the cache dir name, pdbbind.py:229).  Width alone is not
+        # enough: two embedding files with the same dim (e.g. recomputed
+        # with a different ESM revision) must not share cached graphs, so
+        # the key includes a content digest over the embedding arrays.
         esm_dim = 0
+        esm_digest = ""
         if self.esm_embeddings:
             chains = next(iter(self.esm_embeddings.values()))
             if chains:
                 esm_dim = int(chains[0].shape[-1])
+            h = hashlib.sha1()
+            for cname in sorted(self.esm_embeddings):
+                h.update(cname.encode())
+                for arr in self.esm_embeddings[cname]:
+                    a = np.ascontiguousarray(np.asarray(arr, dtype=np.float32))
+                    h.update(str(a.shape).encode())
+                    h.update(a.tobytes())
+            esm_digest = h.hexdigest()[:12]
         self.esm_dim = esm_dim
         if cache_dir is not None:
             tag = hashlib.sha1(
                 (repr(sorted(asdict(cfg).items()))
-                 + f"v{self.CACHE_VERSION}_esm{esm_dim}").encode()
+                 + f"v{self.CACHE_VERSION}_esm{esm_dim}_{esm_digest}").encode()
             ).hexdigest()[:16]
             self.cache_dir = os.path.join(cache_dir, f"graphs_{tag}")
             os.makedirs(self.cache_dir, exist_ok=True)

@@ -246,13 +246,31 @@ class DockingPipeline:
                 graphlib.from_raw(d.raw, buckets=self.buckets)
                 for d in filtering_datas
             ]
-        groups = defaultdict(list)
-        for ci, g1 in enumerate(graphs):
-            sig = tuple(
+            # same ligand-capacity guard as dock(): run_confidence transfers
+            # lig_pos from the score graph into the filtering graph, which is
+            # only coherent when both bucketed to the same ligand capacity
+            for ci, (g1, gf1) in enumerate(zip(graphs, fgraphs)):
+                if gf1.lig_pos.shape != g1.lig_pos.shape:
+                    raise ValueError(
+                        f"complex {datas[ci].name}: filtering graph ligand "
+                        f"capacity differs from the score graph "
+                        f"({gf1.lig_pos.shape} vs {g1.lig_pos.shape})"
+                    )
+
+        def shape_sig(g1):
+            return tuple(
                 (path, leaf.shape) for path, leaf in
                 sorted(jax.tree_util.tree_flatten_with_path(g1)[0], key=str)
                 if hasattr(leaf, "shape")
             )
+
+        # group by BOTH signatures so graphlib.stack never sees mixed
+        # filtering shapes within one chunk
+        groups = defaultdict(list)
+        for ci, g1 in enumerate(graphs):
+            sig = shape_sig(g1)
+            if fgraphs is not None:
+                sig = (sig, shape_sig(fgraphs[ci]))
             groups[sig].append(ci)
 
         bs = min(self.batch_size, S * max(len(v) for v in groups.values()))

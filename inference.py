@@ -361,14 +361,18 @@ def _write_outputs(args, data, result):
         with open(os.path.join(out, "flexible_residues.txt"), "w") as fh:
             for chain, seq, resname in data.flex_residue_ids:
                 fh.write(f"{chain}:{seq}:{resname}\n")
+    rank1_sdf = None
     for rank in range(result.lig_pos.shape[0]):
         conf_tag = (
             f"_confidence{result.confidence[rank]:.2f}"
             if result.confidence is not None
             else ""
         )
+        sdf_path = os.path.join(out, f"rank{rank + 1}{conf_tag}.sdf")
+        if rank == 0:
+            rank1_sdf = sdf_path
         visualise.write_ligand_sdf(
-            os.path.join(out, f"rank{rank + 1}{conf_tag}.sdf"),
+            sdf_path,
             data.ligand, result.lig_pos[rank][:nl], result.center,
             name=data.name,
         )
@@ -377,7 +381,7 @@ def _write_outputs(args, data, result):
             data.receptor_arrays, result.atom_pos[rank][:na], result.center,
         )
     if args.relax:
-        _relax_rank1(args, data, result, out)
+        _relax_rank1(args, data, result, out, rank1_sdf)
     if args.save_visualisation and result.trajectory is not None:
         lig_traj = result.trajectory[0]  # [steps, S, NL, 3]
         for rank in range(min(3, lig_traj.shape[1])):
@@ -388,24 +392,24 @@ def _write_outputs(args, data, result):
     logging.info("finished %s -> %s", data.name, out)
 
 
-def _relax_rank1(args, data, result, out):
+def _relax_rank1(args, data, result, out, rank1_sdf):
     """Relax the top-ranked pose -> rank1_relaxed.sdf (reference
     inference.py:248 + utils/posebusters_em.py:147-213).  Tier 1 = OpenMM
     energy minimization when importable; tier 2 = the TPU-native
-    clash_relax (rigid+torsional soft-sphere descent, relax.py)."""
+    clash_relax (rigid+torsional soft-sphere descent, relax.py).
+
+    `rank1_sdf` is the exact rank-1 path written by _write_outputs —
+    scanning the directory with startswith('rank1') is wrong because
+    'rank10_confidenceX.sdf' sorts before 'rank1_confidenceY.sdf'."""
     import numpy as np
 
     from diffdock_pocket_tpu import evaluation, relax as relaxlib, visualise
 
     relaxed_path = os.path.join(out, "rank1_relaxed.sdf")
     if relaxlib.openmm_available():
-        rank1 = sorted(
-            p for p in os.listdir(out)
-            if p.startswith("rank1") and p.endswith(".sdf") and "relaxed" not in p
-        )[0]
         e0, e1 = relaxlib.openmm_relax(
             os.path.join(out, "rank1_protein.pdb"),
-            os.path.join(out, rank1), relaxed_path,
+            rank1_sdf, relaxed_path,
         )
         logging.info("%s OpenMM relax: %.1f -> %.1f kcal/mol", data.name, e0, e1)
         return

@@ -305,3 +305,17 @@ def test_split_confidence_output_variants():
 
     c, a = split_confidence_output(None, None)
     assert c is None and a is None
+
+
+def test_parallel_without_affinity_rejected(tmp_path):
+    """parallel > 1 without affinity_prediction must fail fast with a clear
+    error (the parallel aggregators only feed the affinity head; without
+    this check the loss broadcast fails at jit trace time)."""
+    rigid = dataclasses.replace(
+        TINY, confidence_mode=True, parallel=2, affinity_prediction=False,
+    )
+    with pytest.raises(ValueError, match="affinity_prediction"):
+        ConfidenceTrainer(
+            rigid, train_data=None, val_data=None,
+            run_dir=str(tmp_path / "run"), parallel=2,
+        )
