@@ -287,6 +287,68 @@ class ConfidenceTrainer:
             self._checkpoint(params, batch_stats, metrics)
         return params, batch_stats
 
+    def evaluate(self, data, params, batch_stats, multiplicity: int = 1,
+                 rng=None):
+        """Eval-only pass over ``data``: mean loss/accuracy + raw
+        (scores, labels).  ``multiplicity`` repeats the pass with fresh pose
+        draws (reference test_epoch multiplicity,
+        filtering_train.py:184-240)."""
+        rng = rng or np.random.default_rng(self.seed)
+        losses, scores, labels = [], [], []
+        for _ in range(max(1, multiplicity)):
+            for g, y, aff, tvals in self._batches(data, rng):
+                loss, logits = self.eval_step(params, batch_stats, g, y, aff, tvals)
+                losses.append(float(loss))
+                scores.append(np.asarray(logits).reshape(-1))
+                labels.append(np.asarray(y).reshape(-1))
+        scores = np.concatenate(scores) if scores else np.zeros(0)
+        labels = np.concatenate(labels) if labels else np.zeros(0)
+        metrics = {
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "accuracy": float(np.mean((scores > 0) == (labels > 0.5)))
+            if len(scores) else 0.0,
+        }
+        if self.loss_type == "bce" and len(scores):
+            metrics["roc_auc"] = roc_auc(labels, scores)
+        return metrics, scores, labels
+
+    def test(self, data, params, batch_stats, out_dir: str,
+             multiplicity: int = 1, n_steps: int = 21):
+        """Reference test() parity (filtering_train.py:384-419): under
+        trajectory sampling, evaluate every reverse-diffusion step index
+        separately (fixed_step sweep) and persist per-step + combined
+        metrics as npz; without trajectories, a single eval pass."""
+        os.makedirs(out_dir, exist_ok=True)
+        steps = range(n_steps) if getattr(data, "trajectory_sampling", False) else [None]
+        all_losses, all_accs, all_scores, all_labels = [], [], [], []
+        for step in steps:
+            if step is not None:
+                data.fixed_step = step
+            metrics, scores, labels = self.evaluate(
+                data, params, batch_stats, multiplicity=multiplicity
+            )
+            logger.info("test step %s: %s", step, metrics)
+            all_losses.append(metrics["loss"])
+            all_accs.append(metrics["accuracy"])
+            all_scores.append(scores)
+            all_labels.append(labels)
+            if step is not None:
+                np.savez(
+                    os.path.join(out_dir, f"val_eval_step{step}.npz"),
+                    loss=metrics["loss"], accuracy=metrics["accuracy"],
+                    predictions=scores, labels=labels,
+                )
+        np.savez(
+            os.path.join(out_dir, "val_eval.npz"),
+            loss=np.asarray(all_losses), accuracy=np.asarray(all_accs),
+            predictions=np.asarray(all_scores, dtype=object),
+            labels=np.asarray(all_labels, dtype=object),
+        )
+        return {
+            "loss": float(np.mean(all_losses)),
+            "accuracy": float(np.mean(all_accs)),
+        }
+
     def _checkpoint(self, params, batch_stats, metrics):
         v = metrics.get(
             self.main_metric, metrics.get(f"val_{self.main_metric}", metrics["val_loss"])

@@ -54,6 +54,14 @@ class DataConfig:
     use_original_conformer_fallback: bool = True
     use_original_conformer: bool = False
     max_lig_size: Optional[int] = None
+    # store the experimental (holo) side-chain coordinates alongside the
+    # computational (apo) input so validation can measure sc-RMSD vs the
+    # TRUE protein (reference compare_true_protein, pdbbind.py:550-553 +
+    # process_mols.py:860-866 true_sc_pos)
+    compare_true_protein: bool = False
+    # drop complexes whose reduced pocket has no receptor atoms near the
+    # ligand (reference skip_no_pocket_atoms, pdbbind.py:181-182)
+    skip_no_pocket_atoms: bool = False
 
 
 @dataclass
@@ -164,7 +172,8 @@ def build_complex(
         )
     else:
         pocket_center, pocket_radius = R.calculate_binding_pocket(
-            ca_all, orig_coords, 0.0, cfg.pocket_cutoff
+            ca_all, orig_coords, 0.0, cfg.pocket_cutoff,
+            skip_no_pocket_atoms=cfg.skip_no_pocket_atoms,
         )
     pocket_radius_buffered = pocket_radius + cfg.pocket_buffer
 
@@ -254,6 +263,15 @@ def build_complex(
         "sc_res_index": sc_res,
         "original_center": center.astype(np.float32),
     }
+    if cfg.compare_true_protein and computational_protein is not None:
+        # experimental (holo) coordinates for the SAME extracted atoms, so
+        # validation can measure sc-RMSD vs the true protein when training
+        # on computational structures (reference true_sc_pos,
+        # process_mols.py:860-866; non-flexible entries fall back to the
+        # input positions — only flexible atoms are ever read)
+        raw["atom_true_pos"] = (
+            _true_atom_positions(rec, protein, cfg.remove_hs) - center
+        ).astype(np.float32)
     if extra_conformers:
         # [num_conformers, NL, 3]; ignored by from_raw's schema — the trainer
         # substitutes one conformer into lig_pos per batch assembly
@@ -270,6 +288,36 @@ def build_complex(
         rmsd_matching=rmsd_matching,
         match_rmsd=match_rmsd,
     )
+
+
+def _true_atom_positions(rec: R.ReceptorArrays, true_model, remove_hs: bool):
+    """[NA, 3] positions of the extracted receptor atoms taken from the
+    experimental model, matched by (chain, residue seq, atom name); atoms
+    with no counterpart keep their input position."""
+    true_map = {}
+    for chain in true_model.chains:
+        for res in chain.residues:
+            true_map[(res.chain_id, res.seq)] = res
+    out = rec.atom_pos.copy()
+    idx = 0
+    n_missing = 0
+    for res in rec.residues:
+        tres = true_map.get((res.chain_id, res.seq))
+        for atom in res.atoms:
+            if remove_hs and atom.element == "H":
+                continue
+            ta = tres.get_atom(atom.name) if tres is not None else None
+            if ta is not None:
+                out[idx] = ta.coord
+            else:
+                n_missing += 1
+            idx += 1
+    if n_missing:
+        logger.warning(
+            "compare_true_protein: %d/%d atoms had no experimental "
+            "counterpart; kept input positions", n_missing, idx,
+        )
+    return out
 
 
 def _predefined_sidechains(rec: R.ReceptorArrays, allowed: set):

@@ -58,8 +58,15 @@ def sort_atoms(model: PDBModel):
 # pocket math
 # ---------------------------------------------------------------------------
 
+class NoAtomCloseToLigandError(ValueError):
+    """Raised under skip_no_pocket_atoms when no receptor point is within
+    pocket_cutoff of the ligand (reference NoAtomCloseToLigandException,
+    pdbbind.py:330-331)."""
+
+
 def calculate_binding_pocket(
-    rec_points: np.ndarray, lig_pos: np.ndarray, buffer: float, pocket_cutoff: float
+    rec_points: np.ndarray, lig_pos: np.ndarray, buffer: float,
+    pocket_cutoff: float, skip_no_pocket_atoms: bool = False,
 ):
     """(pocket center, buffered radius) — center = mean of receptor points
     within pocket_cutoff of any ligand atom (closest point fallback)."""
@@ -68,6 +75,11 @@ def calculate_binding_pocket(
     if label.any():
         center = rec_points[label].mean(axis=0)
     else:
+        if skip_no_pocket_atoms:
+            raise NoAtomCloseToLigandError(
+                f"no receptor point within pocket_cutoff={pocket_cutoff} A "
+                f"of the ligand (closest {d.min():.2f} A)"
+            )
         logger.warning(
             "No pocket residue below %s A; taking closest at %.2f",
             pocket_cutoff, d.min(),

@@ -191,6 +191,12 @@ class Trainer:
                 os.path.join(args.restart_dir, "last_model"), state
             )
             logger.info("restarted from %s", args.restart_dir)
+            restart_lr = getattr(args, "restart_lr", None)
+            if restart_lr is not None:
+                # overwrite the restored optimizer LR (reference train.py:178)
+                state = state._replace(opt_state=_set_lr(state.opt_state, restart_lr))
+                self._lr = restart_lr
+                logger.info("restart_lr: optimizer lr overwritten to %g", restart_lr)
 
         for epoch in range(args.n_epochs):
             t0 = time.time()
@@ -230,6 +236,19 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 inf = self.inference_epoch(eval_params, state.batch_stats, sub)
                 metrics.update({f"valinf_{k}": v for k, v in inf.items()})
+
+            # ---- periodic TRAIN-set docking (reference train.py:80-87;
+            # always possible here — lig_orig_pos is stored for every
+            # complex, where the reference loses it under torsion noise) ----
+            tif = getattr(args, "train_inference_freq", None)
+            if tif and (epoch + 1) % tif == 0:
+                key, sub = jax.random.split(key)
+                self._inference_set = self.train_set
+                try:
+                    inf = self.inference_epoch(eval_params, state.batch_stats, sub)
+                finally:
+                    self._inference_set = None
+                metrics.update({f"traininf_{k}": v for k, v in inf.items()})
 
             lr, stepped = step_scheduler(
                 self.scheduler, metrics, args.main_metric, args.lr,
@@ -276,12 +295,14 @@ class Trainer:
             batch_size=args.inference_samples,
             manifold_alphas=manifold_alphas,
         )
-        rmsds, sc_rmsds, clashes = [], [], []
+        acc = defaultdict(list)  # metric families, each a list per complex
+        rmsds, sc_rmsds = [], []
         n = 0
-        for i in range(len(self.val_set)):
+        dataset = getattr(self, "_inference_set", None) or self.val_set
+        for i in range(len(dataset)):
             if n >= args.num_inference_complexes:
                 break
-            data = self.val_set.get(i)
+            data = dataset.get(i)
             if data is None:
                 continue
             key, sub = jax.random.split(key)
@@ -301,40 +322,109 @@ class Trainer:
                 for s in range(result.lig_pos.shape[0])
             )
             rmsds.append(best)
-            if self.model_cfg.flexible_sidechains and data.raw["sc_bond_index"].size:
-                na = len(data.raw["atom_pos"])
-                _, overall = evaluation.sidechain_rmsds(
-                    result.atom_pos[0][:na], data.raw["atom_orig_pos"],
-                    data.raw["sc_rotate_mask"], data.raw["sc_res_index"],
-                )
-                sc_rmsds.append(overall)
-                elements = evaluation.elements_from_atom_feat(data.raw["atom_feat"])
-                lig_el = [
-                    s for s in data.ligand.symbols
-                ]
-                clashes.append(
-                    evaluation.rec_lig_clashes(
-                        result.atom_pos[0][:na], elements,
-                        result.lig_pos[0][:nl], lig_el,
-                    )
-                )
+            self._clash_and_sc_metrics(data, result, acc, sc_rmsds)
         rmsds = np.asarray(rmsds)
         out = {
             "rmsds_lt2": float(np.mean(rmsds < 2.0)) if len(rmsds) else 0.0,
             "rmsds_lt5": float(np.mean(rmsds < 5.0)) if len(rmsds) else 0.0,
             "mean_rmsd": float(rmsds.mean()) if len(rmsds) else 0.0,
         }
+        for k, v in acc.items():
+            out[k] = float(np.mean(v))
         if sc_rmsds:
             sc = np.asarray(sc_rmsds)
             out.update(
                 {
+                    # reference sc-RMSD bands 0.25/0.5/1 (training.py:440-442)
+                    "sc_rmsds_lt025": float(np.mean(sc < 0.25)),
                     "sc_rmsds_lt05": float(np.mean(sc < 0.5)),
                     "sc_rmsds_lt1": float(np.mean(sc < 1.0)),
                     "mean_sc_rmsd": float(sc.mean()),
-                    "mean_steric_clashes": float(np.mean(clashes)),
+                    # the confidence-label proxy (reference training.py:425)
+                    "rmsds_lt2_and_sc_rmsds_lt1": float(
+                        np.mean((rmsds[: len(sc)] < 2.0) & (sc < 1.0))
+                    ),
+                    # kept for backward compat with round-2 logs/checkpoints
+                    "mean_steric_clashes": out.get("rec_lig_steric_clashes", 0.0),
                 }
             )
         return out
+
+    def _clash_and_sc_metrics(self, data, result, acc, sc_rmsds):
+        """Per-complex clash families (+deltas vs the original complex) and
+        side-chain RMSD suite, incl. compare-to-true-protein (reference
+        utils/training.py:273-280, 292-310, 316, 363-400, 443-457)."""
+        raw = data.raw
+        nl = len(raw["lig_pos"])
+        na = len(raw["atom_pos"])
+        pred_atom = np.asarray(result.atom_pos[0][:na])
+        pred_lig = np.asarray(result.lig_pos[0][:nl])
+        elements = evaluation.elements_from_atom_feat(raw["atom_feat"])
+        lig_el = list(data.ligand.symbols)
+
+        if self.model_cfg.all_atoms:
+            base = evaluation.rec_lig_clashes(
+                raw["atom_orig_pos"], elements, raw["lig_orig_pos"], lig_el
+            )
+            pred = evaluation.rec_lig_clashes(pred_atom, elements, pred_lig, lig_el)
+            acc["rec_lig_steric_clashes"].append(pred)
+            acc["rec_lig_steric_clashes_delta"].append(pred - base)
+
+        if not (self.model_cfg.flexible_sidechains and raw["sc_bond_index"].size):
+            return
+        sc_mask = raw["sc_rotate_mask"].any(axis=0)  # flexible heavy atoms
+        flex_idx = np.where(sc_mask)[0]
+        flex_el = [elements[i] for i in flex_idx]
+
+        # flexible side-chain atoms vs ligand (the reference's checkpoint
+        # criterion family, train.py:124-127)
+        base = evaluation.rec_lig_clashes(
+            raw["atom_orig_pos"][flex_idx], flex_el, raw["lig_orig_pos"], lig_el
+        )
+        pred = evaluation.rec_lig_clashes(pred_atom[flex_idx], flex_el, pred_lig, lig_el)
+        acc["rec_sc_lig_steric_clashes"].append(pred)
+        acc["rec_sc_lig_steric_clashes_delta"].append(pred - base)
+
+        # side chains vs rest-of-receptor and vs other side chains
+        for fam, versus_rest in (
+            ("rec_sc_rec_rest_steric_clashes", True),
+            ("rec_sc_rec_sc_steric_clashes", False),
+        ):
+            base = evaluation.sidechain_clashes(
+                raw["atom_orig_pos"], elements, raw["sc_rotate_mask"],
+                raw["sc_res_index"], versus_rest=versus_rest,
+            )
+            pred = evaluation.sidechain_clashes(
+                pred_atom, elements, raw["sc_rotate_mask"],
+                raw["sc_res_index"], versus_rest=versus_rest,
+            )
+            acc[fam].append(pred)
+            acc[f"{fam}_delta"].append(pred - base)
+
+        _, overall = evaluation.sidechain_rmsds(
+            pred_atom, raw["atom_orig_pos"],
+            raw["sc_rotate_mask"], raw["sc_res_index"],
+        )
+        sc_rmsds.append(overall)
+
+        # compare_true_protein: sc-RMSD vs the experimental (holo) structure
+        # when the input receptor is computational (reference training.py:
+        # 316, 390-400, 443-457); available when featurization stored
+        # atom_true_pos (DataConfig.compare_true_protein)
+        true_pos = raw.get("atom_true_pos")
+        if true_pos is not None:
+            _, from_holo = evaluation.sidechain_rmsds(
+                pred_atom, true_pos, raw["sc_rotate_mask"], raw["sc_res_index"]
+            )
+            _, orig_from_holo = evaluation.sidechain_rmsds(
+                raw["atom_orig_pos"], true_pos,
+                raw["sc_rotate_mask"], raw["sc_res_index"],
+            )
+            acc["sc_rmsds_from_holo"].append(from_holo)
+            acc["sc_rmsds_lt05_from_holo"].append(float(from_holo < 0.5))
+            acc["sc_rmsds_lt1_from_holo"].append(float(from_holo < 1.0))
+            if orig_from_holo > 1e-9:
+                acc["sc_rmsds_from_holo_ratio"].append(from_holo / orig_from_holo)
 
     # ------------------------------------------------------------------
     def _checkpoint(self, state, metrics, epoch):
@@ -344,7 +434,9 @@ class Trainer:
             "best_inference_epoch_model": ("valinf_rmsds_lt2", "max"),
             "best_sc_tor_model": ("val_sc_tor_loss", "min"),
             "best_sc_rmsd_model": ("valinf_mean_sc_rmsd", "min"),
-            "best_steric_clash_model": ("valinf_mean_steric_clashes", "min"),
+            # the reference selects on the side-chain-vs-ligand family
+            # (train.py:124-127 valinf_rec_sc_lig_steric_clashes)
+            "best_steric_clash_model": ("valinf_rec_sc_lig_steric_clashes", "min"),
         }
         for name, (metric, goal) in criteria.items():
             if metric not in metrics:

@@ -90,6 +90,16 @@ def get_parser():
     p.add_argument("--main_metric_goal", type=str, default="min")
     p.add_argument("--best_model_save_frequency", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    # eval-only mode (reference filtering_train.py:160-162, 504, 523)
+    p.add_argument("--no_train", action="store_true",
+                   help="skip training (combine with --test for eval-only)")
+    p.add_argument("--test", action="store_true",
+                   help="after (or instead of) training, evaluate on the val "
+                        "set: per-trajectory-step sweep under "
+                        "--trajectory_sampling, saved to val_eval*.npz")
+    p.add_argument("--multiplicity_test", type=int, default=1,
+                   help="repeat the test pass this many times with fresh "
+                        "pose draws")
     return p
 
 
@@ -257,9 +267,10 @@ def main():
         "mse" if args.rmsd_prediction
         else ("crossentropy" if isinstance(cutoff, list) else "bce")
     )
+    run_dir = os.path.join(args.log_dir, args.run_name)
     trainer = ConfidenceTrainer(
         conf_cfg, train_fd, val_fd,
-        run_dir=os.path.join(args.log_dir, args.run_name),
+        run_dir=run_dir,
         lr=args.lr, batch_size=args.batch_size, loss_type=loss_type,
         main_metric=args.main_metric, main_metric_goal=args.main_metric_goal,
         transfer_params=score_vars["params"] if args.transfer_weights else None,
@@ -269,7 +280,22 @@ def main():
         data_cfg=data_cfg,
         parallel=args.parallel,
     )
-    trainer.fit(args.n_epochs)
+    if not args.no_train:
+        params, batch_stats = trainer.fit(args.n_epochs)
+    else:
+        # eval-only: load the trained confidence model from this run dir
+        # (reference --no_train + --test, filtering_train.py:504,523)
+        name = "best_model" if os.path.isdir(os.path.join(run_dir, "best_model")) \
+            else "last_model"
+        vars_ = ckpt.load_checkpoint(os.path.join(run_dir, name))
+        params, batch_stats = vars_["params"], vars_.get("batch_stats", {})
+        logging.info("--no_train: loaded %s from %s", name, run_dir)
+    if args.test:
+        metrics = trainer.test(
+            val_fd, params, batch_stats, out_dir=run_dir,
+            multiplicity=args.multiplicity_test,
+        )
+        logging.info("test: %s", metrics)
 
 
 if __name__ == "__main__":

@@ -319,3 +319,26 @@ def test_parallel_without_affinity_rejected(tmp_path):
             rigid, train_data=None, val_data=None,
             run_dir=str(tmp_path / "run"), parallel=2,
         )
+
+
+def test_evaluate_and_test_eval_only(pose_caches, tmp_path):
+    """ConfidenceTrainer.evaluate / .test back the --no_train/--test
+    eval-only CLI mode (reference filtering_train.py:160-162, 384-419):
+    metrics come back finite and the npz artifacts are written."""
+    ds, paths = pose_caches
+    merged = combine_pose_caches(paths)
+    fd = FilteringDataset(ds, merged)
+    cfg = dataclasses.replace(TINY, confidence_mode=True)
+    trainer = ConfidenceTrainer(
+        cfg, fd, fd, run_dir=str(tmp_path / "conf"), batch_size=2,
+    )
+    params, batch_stats = trainer.fit(n_epochs=1)
+    metrics, scores, labels = trainer.evaluate(
+        fd, params, batch_stats, multiplicity=2
+    )
+    assert np.isfinite(metrics["loss"])
+    assert len(scores) == len(labels) > 0
+    out = trainer.test(fd, params, batch_stats,
+                       out_dir=str(tmp_path / "test_out"), multiplicity=1)
+    assert np.isfinite(out["loss"])
+    assert os.path.exists(str(tmp_path / "test_out" / "val_eval.npz"))

@@ -165,3 +165,75 @@ def test_pdbqt_ligand_reading(tmp_path):
     import numpy as _np
 
     _np.testing.assert_allclose(mol.coords[1], [1.4, 0.0, 0.0], atol=1e-3)
+
+
+def test_skip_no_pocket_atoms():
+    """skip_no_pocket_atoms raises on complexes with no receptor point near
+    the ligand (reference pdbbind.py:330-331); with a tiny cutoff the 3dpf
+    pocket triggers it."""
+    cfg = featurize.DataConfig(pocket_cutoff=0.1, skip_no_pocket_atoms=True)
+    with pytest.raises(receptor.NoAtomCloseToLigandError):
+        featurize.build_complex(LIGAND, PROTEIN, cfg, name="3dpf")
+    # default (no skip): falls back to the closest point
+    cfg = featurize.DataConfig(pocket_cutoff=0.1)
+    data = featurize.build_complex(LIGAND, PROTEIN, cfg, name="3dpf")
+    assert len(data.raw["rec_pos"]) > 0
+
+
+def test_pocket_reduction_mode_ligand_dist():
+    """ligand-dist pocket reduction keeps residues with any heavy atom
+    within 12 A of the ligand (reference pdbbind.py:603-607); the selection
+    differs from the default center-dist sphere."""
+    base = featurize.build_complex(
+        LIGAND, PROTEIN, featurize.DataConfig(), name="3dpf"
+    )
+    lig = featurize.build_complex(
+        LIGAND, PROTEIN,
+        featurize.DataConfig(pocket_reduction_mode="ligand-dist"), name="3dpf",
+    )
+    nr = len(lig.raw["rec_pos"])
+    assert 10 < nr < 400
+    assert nr != len(base.raw["rec_pos"])
+
+
+def test_compare_true_protein_stores_holo_positions(tmp_path):
+    """With compare_true_protein, featurization stores the experimental
+    side-chain coordinates next to the computational input (reference
+    true_sc_pos, process_mols.py:860-866)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir, "scripts"))
+    from apo_journey import make_apo
+
+    apo_path = str(tmp_path / "apo.pdb")
+    rng = np.random.default_rng(0)
+    sc_rmsd_before, n_flex = make_apo(PROTEIN, LIGAND, apo_path, rng)
+    assert sc_rmsd_before > 0.3 and n_flex > 0
+
+    # crude matching budget (popsize/maxiter) so the chi perturbation is
+    # NOT fully recovered and the holo truth stays distinct from the input
+    cfg = featurize.DataConfig(
+        conformer_match_sidechains=True, conformer_match_score="dist",
+        match_max_rmsd=2.0, matching=True, keep_local_structures=False,
+        compare_true_protein=True, popsize=4, maxiter=1,
+    )
+    data = featurize.build_complex(
+        LIGAND, PROTEIN, cfg, name="3dpf", computational_protein=apo_path,
+        rng=np.random.default_rng(1),
+    )
+    raw = data.raw
+    assert "atom_true_pos" in raw
+    assert raw["atom_true_pos"].shape == raw["atom_pos"].shape
+    flex = raw["sc_rotate_mask"].any(axis=0)
+    assert flex.any()
+    # flexible atoms: close to but not exactly the holo truth
+    d = np.linalg.norm(raw["atom_pos"][flex] - raw["atom_true_pos"][flex], axis=1)
+    assert np.median(d) < 3.0
+    # the vast majority of non-flexible atoms are identical between apo and
+    # holo by construction of make_apo (a handful may differ where make_apo's
+    # flexdist selection was wider than this featurization's)
+    d_rigid = np.linalg.norm(
+        raw["atom_pos"][~flex] - raw["atom_true_pos"][~flex], axis=1
+    )
+    assert np.median(d_rigid) < 1e-3
+    assert (d_rigid < 1e-3).mean() > 0.8

@@ -170,3 +170,45 @@ def test_scheduler_untouched_on_non_inference_epochs():
     for _ in range(3):
         lr, _ = step_scheduler(sched, {"valinf_rmsds_lt2": 0.4}, "valinf_rmsds_lt2", 1e-3, lr)
     assert sched.scale < 1.0 and lr < 1e-3
+
+
+def test_clash_and_sc_metric_suite():
+    """The validation clash/sc-RMSD families mirror the reference's 4 clash
+    families + deltas and the compare-true-protein metrics
+    (utils/training.py:273-280, 316, 390-400, 443-457)."""
+    from collections import defaultdict
+    from types import SimpleNamespace
+
+    from synthetic import make_raw_complex
+    from diffdock_pocket_tpu.data.mol import Bond, Molecule
+    from diffdock_pocket_tpu.trainer import Trainer
+
+    raw = make_raw_complex(seed=0)
+    nl, na = len(raw["lig_pos"]), len(raw["atom_pos"])
+    raw = dict(raw, atom_true_pos=raw["atom_orig_pos"]
+               + np.float32(0.5) * np.ones(3, np.float32))
+    mol = Molecule(
+        ["C"] * nl, raw["lig_pos"],
+        [Bond(a, b, 1) for a, b in raw["lig_bond_index"][::2]],
+    )
+    data = SimpleNamespace(raw=raw, ligand=mol, name="synthetic")
+    result = SimpleNamespace(
+        lig_pos=raw["lig_orig_pos"][None] + 0.1,
+        atom_pos=raw["atom_orig_pos"][None] + 0.1,
+    )
+    self = SimpleNamespace(
+        model_cfg=SimpleNamespace(all_atoms=True, flexible_sidechains=True)
+    )
+    acc, sc_rmsds = defaultdict(list), []
+    Trainer._clash_and_sc_metrics(self, data, result, acc, sc_rmsds)
+    for fam in (
+        "rec_lig_steric_clashes", "rec_sc_lig_steric_clashes",
+        "rec_sc_rec_rest_steric_clashes", "rec_sc_rec_sc_steric_clashes",
+    ):
+        assert fam in acc and f"{fam}_delta" in acc, fam
+    # prediction == original + 0.1 -> deltas ~0
+    assert abs(acc["rec_lig_steric_clashes_delta"][0]) <= 2
+    assert len(sc_rmsds) == 1 and 0 < sc_rmsds[0] < 1.0
+    # compare-true-protein: pred is ~0.5 A different from atom_true_pos
+    assert 0.3 < acc["sc_rmsds_from_holo"][0] < 1.5
+    assert "sc_rmsds_from_holo_ratio" in acc

@@ -54,6 +54,19 @@ def parse_train_args(argv=None):
     p.add_argument("--pocket_reduction", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--pocket_buffer", type=float, default=10.0)
     p.add_argument("--pocket_cutoff", type=float, default=5.0)
+    p.add_argument("--pocket_reduction_mode", type=str, default="center-dist",
+                   choices=["center-dist", "ligand-dist"],
+                   help="residue selector for pocket reduction (reference "
+                        "pdbbind.py:599-607)")
+    p.add_argument("--skip_no_pocket_atoms", action="store_true",
+                   help="drop complexes with no receptor atom within "
+                        "pocket_cutoff of the ligand (reference "
+                        "pdbbind.py:330-331)")
+    p.add_argument("--compare_true_protein", action="store_true",
+                   help="store holo side-chain coordinates so validation "
+                        "reports sc-RMSD vs the TRUE protein when training "
+                        "on computational structures (reference "
+                        "parsing.py + training.py:316,390,443)")
     p.add_argument("--flexible_sidechains", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--flexdist", type=float, default=3.5)
     p.add_argument("--flexdist_distance_metric", type=str, default="prism")
@@ -136,6 +149,12 @@ def parse_train_args(argv=None):
     p.add_argument("--sc_tor_weight", type=float, default=0.33)
     p.add_argument("--test_sigma_intervals", action="store_true")
     p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--train_inference_freq", type=int, default=None,
+                   help="epochs between docking-metric evaluations on the "
+                        "TRAIN set (reference parsing.py:19)")
+    p.add_argument("--restart_lr", type=float, default=None,
+                   help="overwrite the restored optimizer LR when restarting "
+                        "from --restart_dir (reference train.py:178)")
     p.add_argument("--checkpoint_freq", type=int, default=1,
                    help="epochs between last_model (restart) checkpoints")
     p.add_argument("--num_inference_complexes", type=int, default=100)
@@ -203,6 +222,9 @@ def build_configs(args):
         remove_hs=args.remove_hs, all_atoms=args.all_atoms,
         pocket_reduction=args.pocket_reduction, pocket_buffer=args.pocket_buffer,
         pocket_cutoff=args.pocket_cutoff,
+        pocket_reduction_mode=args.pocket_reduction_mode,
+        skip_no_pocket_atoms=args.skip_no_pocket_atoms,
+        compare_true_protein=args.compare_true_protein,
         flexible_sidechains=args.flexible_sidechains, flexdist=args.flexdist,
         flexdist_distance_metric=args.flexdist_distance_metric,
         keep_local_structures=False, matching=True,
