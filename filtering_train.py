@@ -29,6 +29,8 @@ def get_parser():
     # data
     p.add_argument("--data_dir", type=str, default="data/PDBBIND_atomCorrected")
     p.add_argument("--protein_ligand_csv", type=str, default=None)
+    p.add_argument("--protein_ligand_csv_val", type=str, default=None,
+                   help="separate val-set CSV (defaults to the train CSV)")
     p.add_argument("--split_train", type=str, default="data/splits/timesplit_no_lig_overlap_train")
     p.add_argument("--split_val", type=str, default="data/splits/timesplit_no_lig_overlap_val_aligned")
     p.add_argument("--protein_file", type=str, default="protein_esmfold_aligned_tr_fix")
@@ -146,7 +148,10 @@ def main():
 
     if args.protein_ligand_csv:
         df_train = ds.load_protein_ligand_df(args.protein_ligand_csv)
-        df_val = df_train
+        df_val = (
+            ds.load_protein_ligand_df(args.protein_ligand_csv_val)
+            if args.protein_ligand_csv_val else df_train
+        )
     else:
         df_train = ds.df_from_split(args.split_train, args.data_dir, args.protein_file)
         df_val = ds.df_from_split(args.split_val, args.data_dir, args.protein_file)

@@ -34,6 +34,8 @@ def parse_train_args(argv=None):
     # data
     p.add_argument("--data_dir", type=str, default="data/PDBBIND_atomCorrected")
     p.add_argument("--protein_ligand_csv", type=str, default=None)
+    p.add_argument("--protein_ligand_csv_val", type=str, default=None,
+                   help="separate val-set CSV (defaults to the train CSV)")
     p.add_argument("--split_train", type=str, default="data/splits/timesplit_no_lig_overlap_train")
     p.add_argument("--split_val", type=str, default="data/splits/timesplit_no_lig_overlap_val_aligned")
     p.add_argument("--protein_file", type=str, default="protein_esmfold_aligned_tr_fix")
@@ -266,7 +268,10 @@ def main():
 
     if args.protein_ligand_csv:
         df_train = ds.load_protein_ligand_df(args.protein_ligand_csv)
-        df_val = df_train
+        df_val = (
+            ds.load_protein_ligand_df(args.protein_ligand_csv_val)
+            if args.protein_ligand_csv_val else df_train
+        )
     else:
         df_train = ds.df_from_split(
             args.split_train, args.data_dir, args.protein_file,
