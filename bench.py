@@ -96,14 +96,43 @@ def main():
 
     extras = {}
     try:
+        from diffdock_pocket_tpu.ops import pallas_tp
+
         g_b = graphlib.replicate(g1, batch)
+        # XLA's cost_analysis EXCLUDES custom calls — i.e. exactly the Pallas
+        # TP kernels that do most of the work.  The honest end-to-end FLOP
+        # count = XLA's count for the non-kernel graph + the kernels'
+        # closed-form FLOPs recorded at trace time (x steps: the score model
+        # runs once per scan step).
         lowered = jax.jit(pipe._run_batch).lower(
             jax.random.PRNGKey(0), g_b, pipe.variables
         )
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        flops_per_call = float(cost.get("flops", 0.0))
+        xla_flops = float(cost.get("flops", 0.0))
+
+        sig = cfg.sigma
+        from diffdock_pocket_tpu import tables as tableslib
+        import jax.numpy as _jnp
+
+        so3_t, torus_t = tableslib.so3_tables(), tableslib.torus_tables()
+
+        def one_fwd(variables, g):
+            t = {k: _jnp.full((batch,), 0.5)
+                 for k in ("tr", "rot", "tor", "sc_tor", "t")}
+            _, s_rot, s_tor, s_sc = sig.t_to_sigma(
+                t["tr"], t["rot"], t["tor"], t["sc_tor"])
+            sn = {"rot": so3_t.score_norm(s_rot),
+                  "tor": torus_t.score_norm(s_tor),
+                  "sc_tor": torus_t.score_norm(s_sc)}
+            return pipe.model.apply(variables, g, t, sn)
+
+        pallas_tp.start_flop_trace()
+        jax.jit(one_fwd).lower(pipe.variables, g_b)
+        pallas_fwd_flops = pallas_tp.stop_flop_trace()
+
+        flops_per_call = xla_flops + pallas_fwd_flops * steps
         n_chunks = math.ceil(samples / batch)
         achieved = flops_per_call * n_chunks / wall  # FLOP/s end to end
         kind = jax.devices()[0].device_kind.lower()
@@ -112,13 +141,19 @@ def main():
                  "v5p": 459e12, "v6e": 918e12, "v6 lite": 918e12}
         peak = next((v for k, v in peaks.items() if k in kind), 197e12)
         extras.update({
+            "flops_per_batch_xla": xla_flops,
+            "flops_per_fwd_pallas": pallas_fwd_flops,
             "flops_per_batch": flops_per_call,
             "achieved_tflops": round(achieved / 1e12, 2),
+            "mfu_total": round(achieved / peak, 4),
+            # legacy name kept so BENCH_r* files stay comparable
             "mfu_vs_bf16_peak": round(achieved / peak, 4),
             "device_kind": jax.devices()[0].device_kind,
         })
-        print(f"bench: {achieved/1e12:.2f} TFLOP/s achieved "
-              f"({100*achieved/peak:.2f}% of bf16 peak on {kind})",
+        print(f"bench: {achieved/1e12:.2f} TFLOP/s achieved end-to-end "
+              f"({100*achieved/peak:.2f}% of bf16 peak on {kind}; "
+              f"pallas {pallas_fwd_flops*steps/1e12:.2f} TF/chunk + "
+              f"xla {xla_flops/1e12:.2f} TF/chunk)",
               file=sys.stderr)
     except Exception as e:  # cost analysis is best-effort
         print(f"bench: cost analysis unavailable: {e}", file=sys.stderr)

@@ -198,13 +198,17 @@ class DockingDataset:
         if cpath and os.path.exists(cpath):
             with open(cpath, "rb") as fh:
                 return pickle.load(fh)
+        # empty CSV cells parse as NaN floats — treat as absent
+        comp = row.get("computational_protein")
+        if not (isinstance(comp, str) and comp):
+            comp = None
         try:
             data = build_complex(
                 ligand=row["ligand_path"],
                 protein=row["experimental_protein"],
                 cfg=self.cfg,
                 name=name,
-                computational_protein=row.get("computational_protein"),
+                computational_protein=comp,
                 lm_embedding_chains=self.esm_embeddings.get(name),
                 predefined_flexible_sidechains=(
                     str(row["flexible_sidechains"]).split("-")

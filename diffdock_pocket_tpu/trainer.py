@@ -423,7 +423,10 @@ class Trainer:
             acc["sc_rmsds_from_holo"].append(from_holo)
             acc["sc_rmsds_lt05_from_holo"].append(float(from_holo < 0.5))
             acc["sc_rmsds_lt1_from_holo"].append(float(from_holo < 1.0))
-            if orig_from_holo > 1e-9:
+            # ratio < 1 = the model moved side chains toward the holo truth;
+            # only meaningful when the input was actually perturbed (holo
+            # rows have orig == true up to io roundoff)
+            if orig_from_holo > 0.05:
                 acc["sc_rmsds_from_holo_ratio"].append(from_holo / orig_from_holo)
 
     # ------------------------------------------------------------------

@@ -141,6 +141,7 @@ def inference_data_config(train_dc, args, DataConfig):
         num_conformers=1,
         match_max_rmsd=None,
         max_lig_size=None,
+        compare_true_protein=False,  # training-only validation aid
     )
 
 

@@ -131,3 +131,30 @@ def test_multi_family_grads_match_per_family():
         for a, b in zip(gm, gs):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+def test_flop_trace_registry():
+    """The analytic FLOP registry records kernel calls at trace time and
+    scales linearly in padded edge count (backs bench.py's honest MFU)."""
+    from diffdock_pocket_tpu.ops import pallas_tp
+
+    ladder = feature_ladder(8, 2, False)
+    in_ir = out_ir = ladder[1]
+
+    def run(E):
+        pallas_tp.start_flop_trace()
+        _case(in_ir, out_ir, E=E)
+        return pallas_tp.stop_flop_trace()
+
+    f128 = run(128)
+    f256 = run(256)
+    assert f128 > 0
+    assert abs(f256 / f128 - 2.0) < 1e-6
+    # off outside a trace window
+    assert pallas_tp.stop_flop_trace() == 0.0
+    # dominated by the weight matmul term: sanity lower bound
+    tp = FasterTensorProduct(in_ir, "1x0e+1x1o", out_ir)
+    from diffdock_pocket_tpu.ops.pallas_tp import _plan
+
+    _, rows_pad = _plan(tp)
+    assert f128 >= 2.0 * rows_pad * 25 * 128  # H=24 -> K=H+1=25
