@@ -115,7 +115,7 @@ def make_confidence_eval_step(model, loss_type: str = "bce",
         loss = confidence_loss_weight * loss
         if aff_pred is not None:
             loss = loss + affinity_loss_weight * _affinity_loss(aff_pred, aff)
-        return loss, conf
+        return loss, conf, aff_pred
 
     return step
 
@@ -264,11 +264,17 @@ class ConfidenceTrainer:
                     aff_losses.append(float(aux["affinity_loss"]))
 
             val_losses, val_scores, val_labels = [], [], []
+            val_aff_pred, val_aff_true = [], []
             for g, y, aff, tvals in self._batches(self.val_data, rng):
-                loss, logits = self.eval_step(params, batch_stats, g, y, aff, tvals)
+                loss, logits, aff_pred = self.eval_step(
+                    params, batch_stats, g, y, aff, tvals
+                )
                 val_losses.append(float(loss))
                 val_scores.append(np.asarray(logits).reshape(-1))
                 val_labels.append(np.asarray(y).reshape(-1))
+                if aff_pred is not None:
+                    val_aff_pred.append(np.asarray(aff_pred).reshape(-1))
+                    val_aff_true.append(np.asarray(aff).reshape(-1))
             metrics = {
                 "loss": float(np.mean(losses)) if losses else 0.0,
                 "accuracy": float(np.mean(accs)) if accs else 0.0,
@@ -276,6 +282,14 @@ class ConfidenceTrainer:
             }
             if aff_losses:
                 metrics["affinity_loss"] = float(np.mean(aff_losses))
+            if val_aff_pred:
+                p = np.concatenate(val_aff_pred)
+                t = np.concatenate(val_aff_true)
+                ok = np.isfinite(t)
+                if ok.any():
+                    metrics["val_affinity_mse"] = float(
+                        np.mean((p[ok] - t[ok]) ** 2)
+                    )
             if val_scores and self.loss_type == "bce":
                 metrics["val_roc_auc"] = roc_auc(
                     np.concatenate(val_labels), np.concatenate(val_scores)
@@ -284,6 +298,11 @@ class ConfidenceTrainer:
                 "confidence epoch %d (%.1fs): %s", epoch, time.time() - t0,
                 {k: round(v, 4) for k, v in metrics.items()},
             )
+            # per-epoch metrics history (read by journey report scripts)
+            import json as _json
+
+            with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as fh:
+                fh.write(_json.dumps({"epoch": epoch, **metrics}) + "\n")
             self._checkpoint(params, batch_stats, metrics)
         return params, batch_stats
 
@@ -297,7 +316,9 @@ class ConfidenceTrainer:
         losses, scores, labels = [], [], []
         for _ in range(max(1, multiplicity)):
             for g, y, aff, tvals in self._batches(data, rng):
-                loss, logits = self.eval_step(params, batch_stats, g, y, aff, tvals)
+                loss, logits, _ = self.eval_step(
+                    params, batch_stats, g, y, aff, tvals
+                )
                 losses.append(float(loss))
                 scores.append(np.asarray(logits).reshape(-1))
                 labels.append(np.asarray(y).reshape(-1))
