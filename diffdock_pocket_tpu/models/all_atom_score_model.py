@@ -363,6 +363,7 @@ class AllAtomScoreModel(nn.Module):
                     in_irreps=in_ir, sh_irreps=shirr, out_irreps=out_ir,
                     n_edge_features=3 * ns, dropout=cfg.dropout, faster=faster,
                     low_precision_weights=cfg.low_precision_weights,
+                    bf16_attr=cfg.bf16_edge_attr,
                     name=f"conv_{l}_{name}",
                 )
 

@@ -35,6 +35,11 @@ class ModelConfig:
     # dominant HBM traffic; weights are invariant scalars so equivariance is
     # unaffected beyond ~0.3% rounding).  Disable for strict-fp32 testing.
     low_precision_weights: bool = True
+    # cast the raw edge-attr concats ([B, N, K, D] blocks, the dominant
+    # XLA-side HBM traffic) to bf16 and run the edge MLP's first layer as a
+    # bf16 MXU matmul (ROADMAP r2 perf candidate; opt-in until journey-
+    # validated)
+    bf16_edge_attr: bool = False
 
     # graph geometry
     lig_max_radius: float = 5.0

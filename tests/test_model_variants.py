@@ -126,3 +126,24 @@ def test_capped_cross_families_match_dense_at_full_k():
     out = get_model(tight).apply(variables, g, t, sn)
     for a in out:
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_bf16_edge_attr_close_to_fp32():
+    """bf16_edge_attr (bf16 raw edge-attr + bf16 fc1 MXU matmul) must stay
+    numerically close to the fp32 path — same params, same graph."""
+    cfg32 = dataclasses.replace(
+        BASE, all_atoms=True, flexible_sidechains=True,
+    )
+    cfg16 = dataclasses.replace(cfg32, bf16_edge_attr=True)
+    g = graphlib.stack([make_graph(seed=0), make_graph(seed=1)])
+    t = _times(2)
+    sn = _sn(cfg32, t)
+    m32, m16 = get_model(cfg32), get_model(cfg16)
+    variables = m32.init(jax.random.PRNGKey(0), g, t, sn)
+    out32 = m32.apply(variables, g, t, sn)
+    out16 = m16.apply(variables, g, t, sn)  # identical param tree
+    for a, b in zip(jax.tree_util.tree_leaves(out32),
+                    jax.tree_util.tree_leaves(out16)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / denom < 0.05, (a - b)
