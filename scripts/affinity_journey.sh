@@ -28,7 +28,7 @@ EXTRA_TRAIN_ARGS=${EXTRA_TRAIN_ARGS:-}
 
 if [ ! -d $W/score_rigid/best_ema_inference_epoch_model ]; then
   echo "=== stage A: rigid score-model training ==="
-  python train.py \
+  bash scripts/run_watchdog.sh python train.py \
     --protein_ligand_csv $C/train.csv \
     --protein_ligand_csv_val $C/heldout.csv \
     --no-flexible_sidechains \
@@ -45,7 +45,7 @@ fi
 
 echo "=== stage B: affinity confidence training (parallel=4) ==="
 if [ ! -f $C/cache_affinity/poses/train/poses_id1.pkl ]; then
-  python filtering_train.py \
+  bash scripts/run_watchdog.sh python filtering_train.py \
     --original_model_dir $W/score_rigid --ckpt best_ema_inference_epoch_model \
     --protein_ligand_csv $C/conf_train.csv \
     --protein_ligand_csv_val $C/conf_val.csv \
@@ -54,7 +54,7 @@ if [ ! -f $C/cache_affinity/poses/train/poses_id1.pkl ]; then
     --cache_creation_id 1 --seed 1 \
     --n_epochs 0 --log_dir $W --run_name conf_affinity_gen || true
 fi
-python filtering_train.py \
+bash scripts/run_watchdog.sh python filtering_train.py \
   --original_model_dir $W/score_rigid --ckpt best_ema_inference_epoch_model \
   --protein_ligand_csv $C/conf_train.csv \
   --protein_ligand_csv_val $C/conf_val.csv \

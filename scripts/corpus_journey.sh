@@ -28,7 +28,7 @@ EXTRA_TRAIN_ARGS=${EXTRA_TRAIN_ARGS:-}
 # ---- stage 1: score model ---------------------------------------------------
 if [ ! -d $W/score/best_ema_inference_epoch_model ]; then
   echo "=== stage 1: score-model training ==="
-  python train.py \
+  bash scripts/run_watchdog.sh python train.py \
     --protein_ligand_csv $C/train.csv \
     --protein_ligand_csv_val $C/heldout.csv \
     --conformer_match_sidechains --compare_true_protein \
@@ -45,7 +45,7 @@ if [ ! -d $W/conf/best_model ]; then
   echo "=== stage 2: pose generation + confidence training ==="
   for ID in 1 2; do
     if [ ! -f $C/cache_filtering/poses/train/poses_id$ID.pkl ]; then
-      python filtering_train.py \
+      bash scripts/run_watchdog.sh python filtering_train.py \
         --original_model_dir $W/score --ckpt best_ema_inference_epoch_model \
         --protein_ligand_csv $C/conf_train.csv \
         --protein_ligand_csv_val $C/conf_val.csv \
@@ -55,7 +55,7 @@ if [ ! -d $W/conf/best_model ]; then
         --n_epochs 0 --log_dir $W --run_name conf_seed || true
     fi
   done
-  python filtering_train.py \
+  bash scripts/run_watchdog.sh python filtering_train.py \
     --original_model_dir $W/score --ckpt best_ema_inference_epoch_model \
     --protein_ligand_csv $C/conf_train.csv \
     --protein_ligand_csv_val $C/conf_val.csv \
@@ -70,7 +70,7 @@ fi
 # ---- stage 3: held-out inference -------------------------------------------
 if [ ! -d $C/preds ]; then
   echo "=== stage 3: held-out confidence-ranked inference ==="
-  python inference.py \
+  bash scripts/run_watchdog.sh python inference.py \
     --protein_ligand_csv $C/heldout.csv \
     --score_model_dir $W/score --score_ckpt best_ema_inference_epoch_model \
     --filtering_model_dir $W/conf --filtering_ckpt best_model \
@@ -81,13 +81,13 @@ fi
 
 # ---- stage 4: evaluation ----------------------------------------------------
 echo "=== stage 4: evaluation ==="
-python evaluate_files.py \
+bash scripts/run_watchdog.sh python evaluate_files.py \
   --results_path $C/preds --data_csv $C/heldout.csv \
   --flexible_sidechains --out_json $C/heldout_eval.json
-python - <<'EOF'
-import json
-m = json.load(open("results/corpus/heldout_eval.json"))
+C=$C python - <<'PYEOF'
+import json, os
+m = json.load(open(os.path.join(os.environ["C"], "heldout_eval.json")))
 print(json.dumps({k: v for k, v in m.items() if not isinstance(v, dict)},
                  indent=2))
-EOF
+PYEOF
 echo "=== corpus journey done ==="

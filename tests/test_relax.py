@@ -98,7 +98,7 @@ def test_relax_rank1_cli_path_reduces_clashes(tmp_path):
     )
     out = str(tmp_path)
     args = types.SimpleNamespace(relax=True)
-    inf._relax_rank1(args, data, result, out)
+    inf._relax_rank1(args, data, result, out, None)
     assert os.path.exists(os.path.join(out, "rank1_relaxed.sdf"))
 
     from diffdock_pocket_tpu.data import sdf as sdfio
