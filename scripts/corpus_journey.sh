@@ -91,3 +91,6 @@ print(json.dumps({k: v for k, v in m.items() if not isinstance(v, dict)},
                  indent=2))
 PYEOF
 echo "=== corpus journey done ==="
+
+# ---- stage 5: report ----------------------------------------------------
+C=$C python scripts/report_corpus.py
