@@ -135,6 +135,9 @@ def parse_train_args(argv=None):
                    help="common base t warped per manifold through inverse "
                         "Beta CDFs (reference parsing.py:100)")
     p.add_argument("--no_aminoacid_identities", action="store_true")
+    p.add_argument("--use_old_atom_encoder", action="store_true",
+                   help="legacy encoder wiring (reference OldAtomEncoder, "
+                        "models/score_model.py:17-52)")
     # training
     p.add_argument("--n_epochs", type=int, default=750)
     p.add_argument("--batch_size", type=int, default=16)
@@ -214,6 +217,7 @@ def build_configs(args):
         separate_noise_schedule=args.separate_noise_schedule,
         asyncronous_noise_schedule=args.asyncronous_noise_schedule,
         no_aminoacid_identities=args.no_aminoacid_identities,
+        use_old_atom_encoder=args.use_old_atom_encoder,
         atom_max_neighbors=args.atom_max_neighbors,
         esm_embeddings_dim=0,  # set in main() from the resolved embeddings
         sigma=sigma,
