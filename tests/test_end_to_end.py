@@ -142,3 +142,37 @@ def test_dock_many_batches_across_complexes():
         assert np.all(np.isfinite(r.lig_pos))
         assert r.confidence is not None and len(r.confidence) == 3
         assert np.all(np.diff(r.confidence) <= 1e-6)  # ranked descending
+
+
+def test_dock_many_filtering_capacity_guard():
+    """dock_many must reject filtering featurizations whose ligand capacity
+    differs from the score graph (ADVICE r2: the lig_pos transfer in
+    run_confidence is only coherent at matched capacities)."""
+    import dataclasses
+
+    data = featurize.build_complex(LIGAND, PROTEIN, featurize.DataConfig(), name="a")
+    g_ex = graphlib.replicate(graphlib.from_raw(data.raw), 2)
+    variables = pipeline.init_random_variables(TINY, g_ex)
+    conf_cfg = dataclasses.replace(
+        TINY, confidence_mode=True, num_confidence_outputs=1, scale_by_sigma=False
+    )
+    conf_vars = pipeline.init_random_variables(conf_cfg, g_ex)
+    pipe = pipeline.DockingPipeline(
+        model_cfg=TINY,
+        variables=variables,
+        sampler_cfg=sampling.SamplerConfig(inference_steps=2, flexible_sidechains=True),
+        confidence_cfg=conf_cfg,
+        confidence_variables=conf_vars,
+        samples_per_complex=2,
+        batch_size=2,
+    )
+    # a filtering complex with a different (larger) ligand -> different
+    # padded capacity after bucketing
+    n = len(data.raw["lig_pos"])
+    big = dict(data.raw)
+    big["lig_pos"] = np.concatenate([big["lig_pos"]] * 3)
+    big["lig_orig_pos"] = np.concatenate([big["lig_orig_pos"]] * 3)
+    big["lig_feat"] = np.concatenate([big["lig_feat"]] * 3)
+    filt = dataclasses.replace(data, raw=big)
+    with pytest.raises(ValueError, match="capacity"):
+        pipe.dock_many([data], jax.random.PRNGKey(0), filtering_datas=[filt])
