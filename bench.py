@@ -47,6 +47,11 @@ def main():
     )
 
     cfg = BIG_SCORE_CONFIG
+    if os.environ.get("BENCH_BF16_EDGES", "0") == "1":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, bf16_edge_attr=True)
+        print("bench: bf16 edge-attr path enabled", file=sys.stderr)
     klr = int(os.environ.get("BENCH_KLR", "0"))
     krl = int(os.environ.get("BENCH_KRL", "0"))
     if klr or krl:
