@@ -75,6 +75,7 @@ def main():
             inference_steps=steps, flexible_sidechains=True,
             temp_sampling=(1.17, 2.06, 7.04, 1.0),
             temp_psi=(1.26, 0.90, 0.96, 0.0),
+            skip_intra_steps=int(os.environ.get("BENCH_SKIP_INTRA", "0")),
         ),
         samples_per_complex=batch,  # warmup: one chunk
         batch_size=batch,

@@ -181,36 +181,47 @@ class AllAtomScoreModel(nn.Module):
         bond_attr = lig_edge_mlp(bond_raw, deterministic=det)
         lnbr_attr = lig_edge_mlp(lnbr_raw, deterministic=det)
 
+        # heavy = rec-intra + atom-intra families on.  The skip variant
+        # (cfg.skip_heavy_intra) still CONSTRUCTS every submodule in the
+        # same order — flax auto-names (MLP_0, MLP_1, ...) are assigned at
+        # creation, so gating only the calls keeps the parameter tree
+        # weight-compatible with the full model.
+        heavy = not cfg.skip_heavy_intra
+
         # -- receptor residue K-list [B, NR, KR] (precomputed on host) -----
-        rnbr_idx, rnbr_ok = g.rec_nbr_idx, g.rec_nbr_mask
-        rnbr_vec = neighbors.gather_nodes(g.rec_pos, rnbr_idx) - g.rec_pos[:, :, None, :]
-        rnbr_d = jnp.linalg.norm(rnbr_vec, axis=-1)
-        KR = rnbr_idx.shape[-1]
-        rnbr_raw = jnp.concatenate(
-            [jnp.broadcast_to(temb[:, None, None, :], (B, NR, KR, D)), rbf_rec(rnbr_d)],
-            axis=-1,
-        )
-        rnbr_sh = shl(rnbr_vec)
-        rnbr_w = self._smooth_weight(rnbr_d, cfg.rec_max_radius)
-        rnbr_attr = MLP([ns, ns], dropout=cfg.dropout)(rnbr_raw, deterministic=det)
+        rnbr_mlp = MLP([ns, ns], dropout=cfg.dropout)
+        if heavy:
+            rnbr_idx, rnbr_ok = g.rec_nbr_idx, g.rec_nbr_mask
+            rnbr_vec = neighbors.gather_nodes(g.rec_pos, rnbr_idx) - g.rec_pos[:, :, None, :]
+            rnbr_d = jnp.linalg.norm(rnbr_vec, axis=-1)
+            KR = rnbr_idx.shape[-1]
+            rnbr_raw = jnp.concatenate(
+                [jnp.broadcast_to(temb[:, None, None, :], (B, NR, KR, D)), rbf_rec(rnbr_d)],
+                axis=-1,
+            )
+            rnbr_sh = shl(rnbr_vec)
+            rnbr_w = self._smooth_weight(rnbr_d, cfg.rec_max_radius)
+            rnbr_attr = rnbr_mlp(rnbr_raw, deterministic=det)
 
         # -- receptor atom kNN K-list [B, NA, KA] (rebuilt every forward —
         #    side-chain atoms move during sampling; reference all_atom:524)
-        anbr_idx, anbr_ok = neighbors.topk_neighbors(
-            g.atom_pos, g.atom_mask, g.atom_pos, g.atom_mask,
-            cfg.atom_max_neighbors, exclude_self=True,
-            approx=cfg.approx_neighbor_search,
-        )
-        anbr_vec = neighbors.gather_nodes(g.atom_pos, anbr_idx) - g.atom_pos[:, :, None, :]
-        anbr_d = jnp.linalg.norm(anbr_vec, axis=-1)
-        KA = cfg.atom_max_neighbors
-        anbr_raw = jnp.concatenate(
-            [jnp.broadcast_to(temb[:, None, None, :], (B, NA, KA, D)), rbf_lig(anbr_d)],
-            axis=-1,
-        )
-        anbr_sh = shl(anbr_vec)
-        anbr_w = self._smooth_weight(anbr_d, cfg.lig_max_radius)
-        anbr_attr = MLP([ns, ns], dropout=cfg.dropout)(anbr_raw, deterministic=det)
+        anbr_mlp = MLP([ns, ns], dropout=cfg.dropout)
+        if heavy:
+            anbr_idx, anbr_ok = neighbors.topk_neighbors(
+                g.atom_pos, g.atom_mask, g.atom_pos, g.atom_mask,
+                cfg.atom_max_neighbors, exclude_self=True,
+                approx=cfg.approx_neighbor_search,
+            )
+            anbr_vec = neighbors.gather_nodes(g.atom_pos, anbr_idx) - g.atom_pos[:, :, None, :]
+            anbr_d = jnp.linalg.norm(anbr_vec, axis=-1)
+            KA = cfg.atom_max_neighbors
+            anbr_raw = jnp.concatenate(
+                [jnp.broadcast_to(temb[:, None, None, :], (B, NA, KA, D)), rbf_lig(anbr_d)],
+                axis=-1,
+            )
+            anbr_sh = shl(anbr_vec)
+            anbr_w = self._smooth_weight(anbr_d, cfg.lig_max_radius)
+            anbr_attr = anbr_mlp(anbr_raw, deterministic=det)
 
         # -- lig<->rec cross pair block ------------------------------------
         # dense [B, NL, NR] (reference radius() semantics) or top-K capped
@@ -412,6 +423,7 @@ class AllAtomScoreModel(nn.Module):
             attr_la = jnp.concatenate(
                 [la_attr, jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KLA, ns)), scal(xg_la)], -1
             )
+            names = ["bond", "lnbr", "lr", "la"]
             specs = [
                 (conv_lig, xg_b, bond_sh, attr_b, bond_w),      # lig intra: bonds
                 (conv_lig, xg_r, lnbr_sh, attr_r, lnbr_w),      # lig intra: radius
@@ -419,26 +431,30 @@ class AllAtomScoreModel(nn.Module):
                 (conv("la"), xg_la, la_sh, attr_la, la_w),      # atom -> lig
             ]
             if do_atom:
-                xg_a = neighbors.gather_nodes(atom_x, anbr_idx)
-                attr_a = jnp.concatenate(
-                    [anbr_attr, jnp.broadcast_to(scal(atom_x)[:, :, None, :], (B, NA, KA, ns)), scal(xg_a)], -1
-                )
+                if heavy:
+                    xg_a = neighbors.gather_nodes(atom_x, anbr_idx)
+                    attr_a = jnp.concatenate(
+                        [anbr_attr, jnp.broadcast_to(scal(atom_x)[:, :, None, :], (B, NA, KA, ns)), scal(xg_a)], -1
+                    )
+                    names.append("atom")
+                    specs.append((conv("atom"), xg_a, anbr_sh, attr_a, anbr_w))
                 attr_al = jnp.concatenate(
                     [la_attr, scal(xg_la), jnp.broadcast_to(scal(lig_x)[:, :, None, :], (B, NL, KLA, ns))], -1
                 )
                 x_al = jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, KLA, lig_x.shape[-1]))
                 xg_ar = neighbors.gather_nodes(rec_x, g.atom_res_index)
                 attr_ar = jnp.concatenate([ar_attr, scal(atom_x), scal(xg_ar)], -1)
+                names += ["al", "ar"]
                 specs += [
-                    (conv("atom"), xg_a, anbr_sh, attr_a, anbr_w),  # atom intra
                     (conv("al"), x_al, la_sh, attr_al, la_w),       # lig -> atom
                     (conv("ar"), xg_ar, ar_sh, attr_ar, 1.0),       # rec -> atom
                 ]
                 if not last:
-                    xg_rr = neighbors.gather_nodes(rec_x, rnbr_idx)
-                    attr_rr = jnp.concatenate(
-                        [rnbr_attr, jnp.broadcast_to(scal(rec_x)[:, :, None, :], (B, NR, KR, ns)), scal(xg_rr)], -1
-                    )
+                    if heavy:
+                        xg_rr = neighbors.gather_nodes(rec_x, rnbr_idx)
+                        attr_rr = jnp.concatenate(
+                            [rnbr_attr, jnp.broadcast_to(scal(rec_x)[:, :, None, :], (B, NR, KR, ns)), scal(xg_rr)], -1
+                        )
                     if rl_idx is not None:
                         xg_rl = neighbors.gather_nodes(lig_x, rl_idx)
                         attr_rl = jnp.concatenate(
@@ -465,14 +481,17 @@ class AllAtomScoreModel(nn.Module):
                         x_rl = jnp.broadcast_to(lig_x[:, :, None, :], (B, NL, NR, lig_x.shape[-1]))
                         rl_sh_use, rl_w_use = lr_sh, lr_w
                     attr_ra = jnp.concatenate([ar_attr, scal(xg_ar), scal(atom_x)], -1)
+                    if heavy:
+                        names.append("rec")
+                        specs.append((conv("rec"), xg_rr, rnbr_sh, attr_rr, rnbr_w))
+                    names += ["rl", "ra"]
                     specs += [
-                        (conv("rec"), xg_rr, rnbr_sh, attr_rr, rnbr_w),  # rec intra
                         (conv("rl"), x_rl, rl_sh_use, attr_rl, rl_w_use),  # lig -> rec
                         (conv("ra"), atom_x, ar_sh, attr_ra, 1.0),       # atom -> rec
                     ]
 
-            msgs = run_convs(specs, in_ir, out_ir)
-            m_b, m_r, m_lr, m_la = msgs[:4]
+            msgs = dict(zip(names, run_convs(specs, in_ir, out_ir)))
+            m_b, m_r, m_lr, m_la = (msgs[n] for n in ("bond", "lnbr", "lr", "la"))
 
             # ---- LIGAND update (lig intra + lr + la) ---------------------
             sum_b = aggregate.scatter_sum_batched(m_b, bsrc, g.lig_bond_mask, NL)
@@ -492,9 +511,12 @@ class AllAtomScoreModel(nn.Module):
 
             if do_atom:
                 # ---- ATOM update (atom intra + al + ar) ------------------
-                m_a, m_al, m_ar = msgs[4:7]
-                atom_update = aggregate.masked_mean(m_a, anbr_ok, axis=2)
-                atom_update = bn("atom")(atom_update, g.atom_mask)
+                m_al, m_ar = msgs["al"], msgs["ar"]
+                if heavy:
+                    atom_update = aggregate.masked_mean(msgs["atom"], anbr_ok, axis=2)
+                    atom_update = bn("atom")(atom_update, g.atom_mask)
+                else:
+                    atom_update = 0.0
 
                 al_update = aggregate.scatter_mean_batched(
                     m_al.reshape(B, NL * KLA, -1),
@@ -509,9 +531,12 @@ class AllAtomScoreModel(nn.Module):
 
                 if not last:
                     # ---- RECEPTOR update (rec intra + rl + ra) -----------
-                    m_rr, m_rl, m_ra = msgs[7:10]
-                    rec_update = aggregate.masked_mean(m_rr, rnbr_ok, axis=2)
-                    rec_update = bn("rec")(rec_update, g.rec_mask)
+                    m_rl, m_ra = msgs["rl"], msgs["ra"]
+                    if heavy:
+                        rec_update = aggregate.masked_mean(msgs["rec"], rnbr_ok, axis=2)
+                        rec_update = bn("rec")(rec_update, g.rec_mask)
+                    else:
+                        rec_update = 0.0
 
                     if rl_idx is not None:
                         rl_update = aggregate.masked_mean(m_rl, rl_ok, axis=2)

@@ -79,6 +79,13 @@ class ModelConfig:
     # launch amortization buys nothing); kept as a deployment knob for
     # small-batch regimes where launch overhead is a larger fraction.
     batch_conv_families: bool = False
+    # drop the rec-intra and atom-intra conv families (and the NAxNA atom
+    # kNN search) — the inference-time "high-sigma" model variant: receptor
+    # internal features barely change while the ligand is far away, so the
+    # sampler runs this reduced model for the first --skip_intra_steps
+    # steps (ROADMAP r2 perf candidate; weight-compatible with the full
+    # model because every submodule keeps its name/creation order).
+    skip_heavy_intra: bool = False
 
     # task structure
     all_atoms: bool = True

@@ -11,6 +11,7 @@ micro-batches sized to HBM.  The host only featurizes once and writes files.
 """
 from __future__ import annotations
 
+import dataclasses
 import logging
 import math
 from dataclasses import dataclass, field
@@ -97,6 +98,13 @@ class DockingPipeline:
         self.batch_size = batch_size
         self.buckets = buckets
         self.model = get_model(model_cfg)
+        # reduced (no rec/atom-intra) variant for the high-sigma steps;
+        # weight-compatible with the full model (see ModelConfig.skip_heavy_intra)
+        self.skip_model = (
+            get_model(dataclasses.replace(model_cfg, skip_heavy_intra=True))
+            if sampler_cfg.skip_intra_steps > 0 and model_cfg.all_atoms
+            else None
+        )
         self.confidence_model = (
             get_model(confidence_cfg) if confidence_cfg is not None else None
         )
@@ -134,6 +142,11 @@ class DockingPipeline:
         def score_fn(gr, t):
             return self.model.apply(variables, gr, t, self._score_norms(t))
 
+        score_fn_early = None
+        if self.skip_model is not None:
+            def score_fn_early(gr, t):
+                return self.skip_model.apply(variables, gr, t, self._score_norms(t))
+
         k1, k2 = jax.random.split(key)
         g = sampling.randomize_position(
             k1, g, self.model_cfg.sigma,
@@ -144,6 +157,7 @@ class DockingPipeline:
         return sampling.reverse_diffusion(
             k2, g, score_fn, self.schedule, self.model_cfg.sigma,
             self.sampler_cfg, self.schedule_next,
+            score_fn_early=score_fn_early,
         )
 
     def _run_confidence(self, g, conf_variables, filtering_graph=None):

@@ -42,6 +42,11 @@ class SamplerConfig:
     temp_psi: tuple = (0.0, 0.0, 0.0, 0.0)
     temp_sigma_data: float = 0.5
     return_trajectory: bool = False
+    # run the reduced score model (skip_heavy_intra: no rec/atom intra
+    # families) for the FIRST this-many steps — receptor internals barely
+    # change while the ligand is far away at high sigma.  0 = full model
+    # on every step.  Requires passing score_fn_early to reverse_diffusion.
+    skip_intra_steps: int = 0
     # SVGD particle interaction (reference sampling.py:197-243); the batch of
     # samples interacts through an RBF kernel over rigid+torsional distances
     svgd_weight: float = 0.0
@@ -271,6 +276,8 @@ def reverse_diffusion(
     sigma: SigmaConfig,
     cfg: SamplerConfig,
     schedule_next=None,  # same structure, next-t values
+    score_fn_early: Optional[Callable] = None,  # reduced model for the
+    # first cfg.skip_intra_steps steps (see SamplerConfig.skip_intra_steps)
 ):
     """Run the full reverse SDE under one jit.  Returns (final graph,
     trajectory) where trajectory is (lig_pos [steps, S, NL, 3],
@@ -312,76 +319,95 @@ def reverse_diffusion(
     T = g.tor_bond_index.shape[1]
     SC = g.sc_bond_index.shape[1]
 
-    def step(carry, inp):
-        gr, k = carry
-        t_vec, dt_vec, last = inp
-        k, k_tr, k_rot, k_tor, k_sc = jax.random.split(k, 5)
+    def make_step(fn):
+        def step(carry, inp):
+            gr, k = carry
+            t_vec, dt_vec, last = inp
+            k, k_tr, k_rot, k_tor, k_sc = jax.random.split(k, 5)
 
-        t_m = {m: t_vec[ki[m]] for m in keys}
-        t_dict = {m: jnp.full((S,), t_m[m]) for m in keys}
-        tr_score, rot_score, tor_score, sc_score = score_fn(gr, t_dict)
+            t_m = {m: t_vec[ki[m]] for m in keys}
+            t_dict = {m: jnp.full((S,), t_m[m]) for m in keys}
+            tr_score, rot_score, tor_score, sc_score = fn(gr, t_dict)
 
-        dt_tr, dt_rot = dt_vec[ki["tr"]], dt_vec[ki["rot"]]
-        dt_tor, dt_sc = dt_vec[ki["tor"]], dt_vec[ki["sc_tor"]]
-        s_tr, s_rot, s_tor, s_sc = sigma.t_to_sigma(
-            t_m["tr"], t_m["rot"], t_m["tor"], t_m["sc_tor"]
-        )
-        g_tr = s_tr * math.sqrt(2 * math.log(sigma.tr_sigma_max / sigma.tr_sigma_min))
-        g_rot = 2 * s_rot * math.sqrt(math.log(sigma.rot_sigma_max / sigma.rot_sigma_min))
-        g_tor = s_tor * math.sqrt(2 * math.log(sigma.tor_sigma_max / sigma.tor_sigma_min))
-        g_sc = s_sc * math.sqrt(2 * math.log(sigma.sc_tor_sigma_max / sigma.sc_tor_sigma_min))
-
-        noise_on = 0.0 if cfg.no_random else 1.0
-        if cfg.no_final_step_noise:
-            noise_scale = jnp.where(last, 0.0, noise_on)
-        else:
-            noise_scale = noise_on
-        z_tr = jax.random.normal(k_tr, (S, 3)) * noise_scale
-        z_rot = jax.random.normal(k_rot, (S, 3)) * noise_scale
-        z_tor = jax.random.normal(k_tor, (S, T)) * noise_scale
-        z_sc = jax.random.normal(k_sc, (S, SC)) * noise_scale
-
-        ts, tp = cfg.temp_sampling, cfg.temp_psi
-        tr_p = _perturbation(tr_score, s_tr, g_tr, dt_tr, z_tr, ts[0], tp[0], sd_tr, cfg.ode)
-        rot_p = _perturbation(rot_score, s_rot, g_rot, dt_rot, z_rot, ts[1], tp[1], sd_rot, cfg.ode)
-        tor_p = _perturbation(tor_score, s_tor, g_tor, dt_tor, z_tor, ts[2], tp[2], sd_tor, cfg.ode)
-        sc_p = _perturbation(sc_score, s_sc, g_sc, dt_sc, z_sc, ts[3], tp[3], sd_sc, cfg.ode)
-
-        if cfg.svgd_weight > 0.0:
-            dihedrals = dihedral_indices(gr)
-            tr_sv, rot_sv, tor_sv = _svgd_updates(
-                gr, dihedrals,
-                (tr_score, rot_score, tor_score),
-                (g_tr, g_rot, g_tor), (dt_tr, dt_rot, dt_tor), cfg,
+            dt_tr, dt_rot = dt_vec[ki["tr"]], dt_vec[ki["rot"]]
+            dt_tor, dt_sc = dt_vec[ki["tor"]], dt_vec[ki["sc_tor"]]
+            s_tr, s_rot, s_tor, s_sc = sigma.t_to_sigma(
+                t_m["tr"], t_m["rot"], t_m["tor"], t_m["sc_tor"]
             )
-            if cfg.svgd_only:
-                tr_p = cfg.svgd_weight * tr_sv
-                rot_p = cfg.svgd_weight * rot_sv
-                tor_p = cfg.svgd_weight * tor_sv
+            g_tr = s_tr * math.sqrt(2 * math.log(sigma.tr_sigma_max / sigma.tr_sigma_min))
+            g_rot = 2 * s_rot * math.sqrt(math.log(sigma.rot_sigma_max / sigma.rot_sigma_min))
+            g_tor = s_tor * math.sqrt(2 * math.log(sigma.tor_sigma_max / sigma.tor_sigma_min))
+            g_sc = s_sc * math.sqrt(2 * math.log(sigma.sc_tor_sigma_max / sigma.sc_tor_sigma_min))
+
+            noise_on = 0.0 if cfg.no_random else 1.0
+            if cfg.no_final_step_noise:
+                noise_scale = jnp.where(last, 0.0, noise_on)
             else:
-                tr_p = tr_p + cfg.svgd_weight * tr_sv
-                rot_p = rot_p + cfg.svgd_weight * rot_sv
-                tor_p = tor_p + cfg.svgd_weight * tor_sv
+                noise_scale = noise_on
+            z_tr = jax.random.normal(k_tr, (S, 3)) * noise_scale
+            z_rot = jax.random.normal(k_rot, (S, 3)) * noise_scale
+            z_tor = jax.random.normal(k_tor, (S, T)) * noise_scale
+            z_sc = jax.random.normal(k_sc, (S, SC)) * noise_scale
 
-        atom_pos = gr.atom_pos
-        if cfg.flexible_sidechains and SC > 0:
-            atom_pos = jax.vmap(diffusion.apply_sidechain_torsion_updates)(
-                atom_pos, gr.sc_bond_index, gr.sc_rotate_mask, sc_p, gr.sc_bond_mask
+            ts, tp = cfg.temp_sampling, cfg.temp_psi
+            tr_p = _perturbation(tr_score, s_tr, g_tr, dt_tr, z_tr, ts[0], tp[0], sd_tr, cfg.ode)
+            rot_p = _perturbation(rot_score, s_rot, g_rot, dt_rot, z_rot, ts[1], tp[1], sd_rot, cfg.ode)
+            tor_p = _perturbation(tor_score, s_tor, g_tor, dt_tor, z_tor, ts[2], tp[2], sd_tor, cfg.ode)
+            sc_p = _perturbation(sc_score, s_sc, g_sc, dt_sc, z_sc, ts[3], tp[3], sd_sc, cfg.ode)
+
+            if cfg.svgd_weight > 0.0:
+                dihedrals = dihedral_indices(gr)
+                tr_sv, rot_sv, tor_sv = _svgd_updates(
+                    gr, dihedrals,
+                    (tr_score, rot_score, tor_score),
+                    (g_tr, g_rot, g_tor), (dt_tr, dt_rot, dt_tor), cfg,
+                )
+                if cfg.svgd_only:
+                    tr_p = cfg.svgd_weight * tr_sv
+                    rot_p = cfg.svgd_weight * rot_sv
+                    tor_p = cfg.svgd_weight * tor_sv
+                else:
+                    tr_p = tr_p + cfg.svgd_weight * tr_sv
+                    rot_p = rot_p + cfg.svgd_weight * rot_sv
+                    tor_p = tor_p + cfg.svgd_weight * tor_sv
+
+            atom_pos = gr.atom_pos
+            if cfg.flexible_sidechains and SC > 0:
+                atom_pos = jax.vmap(diffusion.apply_sidechain_torsion_updates)(
+                    atom_pos, gr.sc_bond_index, gr.sc_rotate_mask, sc_p, gr.sc_bond_mask
+                )
+            lig_pos = jax.vmap(
+                partial(diffusion.modify_conformer, with_torsion=not cfg.no_torsion)
+            )(
+                gr.lig_pos, gr.lig_mask, tr_p, rot_p,
+                gr.tor_bond_index, gr.tor_rotate_mask, tor_p, gr.tor_bond_mask,
             )
-        lig_pos = jax.vmap(
-            partial(diffusion.modify_conformer, with_torsion=not cfg.no_torsion)
-        )(
-            gr.lig_pos, gr.lig_mask, tr_p, rot_p,
-            gr.tor_bond_index, gr.tor_rotate_mask, tor_p, gr.tor_bond_mask,
+            gr = gr.replace(lig_pos=lig_pos, atom_pos=atom_pos)
+
+            ys = (gr.lig_pos, gr.atom_pos) if cfg.return_trajectory else None
+            return (gr, k), ys
+        return step
+
+    step = make_step(score_fn)
+    k0 = cfg.skip_intra_steps if score_fn_early is not None else 0
+    k0 = max(0, min(int(k0), steps))
+    if k0 > 0:
+        (g_mid, key_mid), traj_a = jax.lax.scan(
+            make_step(score_fn_early), (g, key),
+            (t_all[:k0], dt_all[:k0], is_last[:k0]),
         )
-        gr = gr.replace(lig_pos=lig_pos, atom_pos=atom_pos)
-
-        ys = (gr.lig_pos, gr.atom_pos) if cfg.return_trajectory else None
-        return (gr, k), ys
-
-    (g_final, _), traj = jax.lax.scan(
-        step, (g, key), (t_all, dt_all, is_last)
-    )
+        (g_final, _), traj_b = jax.lax.scan(
+            step, (g_mid, key_mid), (t_all[k0:], dt_all[k0:], is_last[k0:])
+        )
+        traj = None
+        if cfg.return_trajectory:
+            traj = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], 0), traj_a, traj_b
+            )
+    else:
+        (g_final, _), traj = jax.lax.scan(
+            step, (g, key), (t_all, dt_all, is_last)
+        )
     return g_final, traj
 
 

@@ -74,6 +74,12 @@ def get_parser():
                         "over all visible devices. Disables trajectories.")
     p.add_argument("--inference_steps", type=int, default=30)
     p.add_argument("--actual_steps", type=int, default=None)
+    p.add_argument("--skip_intra_steps", type=int, default=0,
+                   help="run a reduced score model (no receptor/atom intra "
+                        "conv families) for the FIRST this-many denoising "
+                        "steps — receptor internals barely change while the "
+                        "ligand is far away at high sigma (perf knob; "
+                        "quality-checked on the corpus journey)")
     p.add_argument("--no_final_step_noise", action=argparse.BooleanOptionalAction,
                    default=False)
     p.add_argument("--ode", action="store_true")
@@ -287,6 +293,7 @@ def main():
                       args.temp_psi_tor, args.temp_psi_sc_tor),
             temp_sigma_data=args.temp_sigma_data,
             return_trajectory=args.save_visualisation,
+            skip_intra_steps=args.skip_intra_steps,
         ),
         confidence_cfg=conf_cfg,
         confidence_variables=conf_vars,

@@ -147,3 +147,81 @@ def test_bf16_edge_attr_close_to_fp32():
         a, b = np.asarray(a), np.asarray(b)
         denom = np.abs(a).max() + 1e-6
         assert np.abs(a - b).max() / denom < 0.05, (a - b)
+
+
+def test_skip_heavy_intra_weight_compatible():
+    """The reduced model (skip_heavy_intra: no rec/atom intra families) must
+    apply cleanly with the FULL model's variables — submodule creation order
+    is preserved so flax auto-names line up — and give finite outputs that
+    differ from the full forward (the families really are dropped)."""
+    full_cfg = dataclasses.replace(BASE, all_atoms=True, flexible_sidechains=True)
+    skip_cfg = dataclasses.replace(full_cfg, skip_heavy_intra=True)
+    g = graphlib.stack([make_graph(seed=0), make_graph(seed=1)])
+    t = _times(2)
+    sn = _sn(full_cfg, t)
+    m_full, m_skip = get_model(full_cfg), get_model(skip_cfg)
+    variables = m_full.init(jax.random.PRNGKey(0), g, t, sn)
+    out_full = m_full.apply(variables, g, t, sn)
+    out_skip = m_skip.apply(variables, g, t, sn)
+    for a in out_skip:
+        assert np.isfinite(np.asarray(a)).all()
+    # the rec/atom intra contributions are real: outputs must differ
+    assert not np.allclose(np.asarray(out_full[0]), np.asarray(out_skip[0]))
+
+    # lig-MLP weights must map to the same modules in both variants: zeroing
+    # the FIRST auto-named MLP (the ligand edge MLP) changes both outputs
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    z = {k: (jnp.zeros_like(v) if k[0] == "MLP_0" else v) for k, v in flat.items()}
+    vz = dict(variables)
+    vz["params"] = flax.traverse_util.unflatten_dict(z)
+    outz_full = m_full.apply(vz, g, t, sn)
+    outz_skip = m_skip.apply(vz, g, t, sn)
+    assert not np.allclose(np.asarray(outz_full[0]), np.asarray(out_full[0]))
+    assert not np.allclose(np.asarray(outz_skip[0]), np.asarray(out_skip[0]))
+
+
+def test_skip_intra_steps_split_scan_identity():
+    """reverse_diffusion with skip_intra_steps=k and score_fn_early ==
+    score_fn must be bit-identical to the single-scan path (the split only
+    re-chunks the scan; key threading is unchanged)."""
+    from diffdock_pocket_tpu import sampling
+
+    cfg = dataclasses.replace(BASE, all_atoms=True, flexible_sidechains=True)
+    g = graphlib.stack([make_graph(seed=3)] * 2)
+    variables = pipeline.init_random_variables(cfg, g)
+    model = get_model(cfg)
+    so3, torus = tables.so3_tables(), tables.torus_tables()
+
+    def score_fn(gr, t):
+        _, sr, st, ss = cfg.sigma.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
+        sn = {"rot": so3.score_norm(sr), "tor": torus.score_norm(st),
+              "sc_tor": torus.score_norm(ss)}
+        return model.apply(variables, gr, t, sn)
+
+    sched = sampling.make_schedules("expbeta", 4)
+    key = jax.random.PRNGKey(7)
+    base_s = sampling.SamplerConfig(inference_steps=4)
+    g0, _ = sampling.reverse_diffusion(key, g, score_fn, sched, cfg.sigma, base_s)
+    split_s = dataclasses.replace(base_s, skip_intra_steps=2)
+    g1, _ = sampling.reverse_diffusion(
+        key, g, score_fn, sched, cfg.sigma, split_s, score_fn_early=score_fn
+    )
+    np.testing.assert_array_equal(np.asarray(g0.lig_pos), np.asarray(g1.lig_pos))
+    np.testing.assert_array_equal(np.asarray(g0.atom_pos), np.asarray(g1.atom_pos))
+
+    # and with the real reduced model: still runs, finite, different
+    skip_model = get_model(dataclasses.replace(cfg, skip_heavy_intra=True))
+
+    def score_fn_early(gr, t):
+        _, sr, st, ss = cfg.sigma.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
+        sn = {"rot": so3.score_norm(sr), "tor": torus.score_norm(st),
+              "sc_tor": torus.score_norm(ss)}
+        return skip_model.apply(variables, gr, t, sn)
+
+    g2, _ = sampling.reverse_diffusion(
+        key, g, score_fn, sched, cfg.sigma, split_s, score_fn_early=score_fn_early
+    )
+    assert np.isfinite(np.asarray(g2.lig_pos)).all()
+    assert not np.array_equal(np.asarray(g2.lig_pos), np.asarray(g0.lig_pos))
