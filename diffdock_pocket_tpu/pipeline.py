@@ -234,6 +234,7 @@ class DockingPipeline:
         key: jax.Array,
         mesh: Optional[jax.sharding.Mesh] = None,
         filtering_datas: Optional[list[ComplexData]] = None,
+        tail_rungs: int = 0,
     ) -> list[DockingResult]:
         """Dock several complexes, batching SAMPLES ACROSS COMPLEXES.
 
@@ -249,6 +250,14 @@ class DockingPipeline:
         Trajectories are not collected in this path (use ``dock`` for
         --save_visualisation).  Returns one DockingResult per input, in
         order; failed featurizations must be filtered by the caller.
+
+        ``tail_rungs`` > 0 enables batch-axis bucketing for the tail chunk
+        of each shape group: instead of padding a small tail up to
+        ``batch_size`` (wasted rows), the tail is run at the smallest
+        halving rung (bs/2, bs/4, ... down to ``tail_rungs`` halvings)
+        that still fits it.  Each rung used costs one extra compile of the
+        sampler executable, so this pays off for long-running services and
+        large corpora, not one-shot small jobs.
         """
         from collections import defaultdict
 
@@ -304,7 +313,16 @@ class DockingPipeline:
             for off in range(0, len(work), bs):
                 chunk = work[off : off + bs]
                 n_real = len(chunk)
-                while len(chunk) < bs:  # tail: repeat rows, drop later
+                cb = bs
+                if tail_rungs > 0 and n_real < bs:
+                    for _ in range(tail_rungs):
+                        half = cb // 2
+                        if half < max(n_real, 1):
+                            break
+                        if mesh is not None and half % mesh.size != 0:
+                            break
+                        cb = half
+                while len(chunk) < cb:  # tail: repeat rows, drop later
                     chunk.append(chunk[len(chunk) - n_real])
                 g = graphlib.stack([graphs[ci] for ci, _ in chunk])
                 if mesh is not None:

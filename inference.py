@@ -72,6 +72,11 @@ def get_parser():
                    help="batch samples across complexes sharing a shape "
                         "bucket (pipeline.dock_many); also shards the batch "
                         "over all visible devices. Disables trajectories.")
+    p.add_argument("--tail_bucket_rungs", type=int, default=0,
+                   help="with --multi_complex_batching: allow this many "
+                        "batch-halving rungs for tail chunks (each rung "
+                        "used costs one extra compile; saves wasted padded "
+                        "rows on large corpora)")
     p.add_argument("--inference_steps", type=int, default=30)
     p.add_argument("--actual_steps", type=int, default=None)
     p.add_argument("--skip_intra_steps", type=int, default=0,
@@ -326,6 +331,7 @@ def main():
         results = pipe.dock_many(
             datas, key, mesh=mesh,
             filtering_datas=fdatas if filtering_dataset else None,
+            tail_rungs=args.tail_bucket_rungs,
         )
         for data, result in zip(datas, results):
             _write_outputs(args, data, result)

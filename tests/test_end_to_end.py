@@ -176,3 +176,40 @@ def test_dock_many_filtering_capacity_guard():
     filt = dataclasses.replace(data, raw=big)
     with pytest.raises(ValueError, match="capacity"):
         pipe.dock_many([data], jax.random.PRNGKey(0), filtering_datas=[filt])
+
+
+def test_dock_many_tail_bucketing():
+    """tail_rungs: the tail chunk of a shape group runs at a halved batch
+    rung instead of being padded to full batch_size; results keep counts
+    and finiteness."""
+    import dataclasses
+
+    data = featurize.build_complex(LIGAND, PROTEIN, featurize.DataConfig(), name="a")
+    data_b = dataclasses.replace(data, name="b")
+    g_ex = graphlib.replicate(graphlib.from_raw(data.raw), 4)
+    variables = pipeline.init_random_variables(TINY, g_ex)
+    pipe = pipeline.DockingPipeline(
+        model_cfg=TINY,
+        variables=variables,
+        sampler_cfg=sampling.SamplerConfig(inference_steps=2, flexible_sidechains=True),
+        samples_per_complex=3,
+        batch_size=4,  # 6 work rows -> chunk of 4 + tail of 2
+    )
+    seen = []
+    orig = pipe._run_jit
+
+    def spy(key, g, variables):
+        seen.append(g.lig_pos.shape[0])
+        return orig(key, g, variables)
+
+    pipe._run_jit = spy
+    results = pipe.dock_many([data, data_b], jax.random.PRNGKey(0), tail_rungs=2)
+    assert seen == [4, 2]  # tail ran at the halved rung, not padded to 4
+    for r in results:
+        assert r.lig_pos.shape[0] == 3
+        assert np.all(np.isfinite(r.lig_pos))
+
+    # without tail_rungs the same job pads the tail to the full batch
+    seen.clear()
+    pipe.dock_many([data, data_b], jax.random.PRNGKey(0))
+    assert seen == [4, 4]
