@@ -152,6 +152,7 @@ class ConfidenceTrainer:
         affinity_loss_weight: float = 1.0,
         data_cfg=None,
         parallel: int = 1,
+        val_multiplicity: int = 1,
     ):
         if cfg.parallel > 1 and not getattr(cfg, "affinity_prediction", False):
             # parallel mode only defines the affinity aggregation head; the
@@ -190,6 +191,10 @@ class ConfidenceTrainer:
             parallel_affinity=par_aff,
         ))
         self.transfer_params = transfer_params
+        # repeat the per-epoch val pass with fresh pose draws: with few val
+        # complexes one draw each gives far too few points for a stable
+        # ROC-AUC (and hence for main_metric checkpoint selection)
+        self.val_multiplicity = max(1, int(val_multiplicity))
         self.best = None
 
     def _batches(self, data: FilteringDataset, rng):
@@ -265,16 +270,17 @@ class ConfidenceTrainer:
 
             val_losses, val_scores, val_labels = [], [], []
             val_aff_pred, val_aff_true = [], []
-            for g, y, aff, tvals in self._batches(self.val_data, rng):
-                loss, logits, aff_pred = self.eval_step(
-                    params, batch_stats, g, y, aff, tvals
-                )
-                val_losses.append(float(loss))
-                val_scores.append(np.asarray(logits).reshape(-1))
-                val_labels.append(np.asarray(y).reshape(-1))
-                if aff_pred is not None:
-                    val_aff_pred.append(np.asarray(aff_pred).reshape(-1))
-                    val_aff_true.append(np.asarray(aff).reshape(-1))
+            for _ in range(self.val_multiplicity):
+                for g, y, aff, tvals in self._batches(self.val_data, rng):
+                    loss, logits, aff_pred = self.eval_step(
+                        params, batch_stats, g, y, aff, tvals
+                    )
+                    val_losses.append(float(loss))
+                    val_scores.append(np.asarray(logits).reshape(-1))
+                    val_labels.append(np.asarray(y).reshape(-1))
+                    if aff_pred is not None:
+                        val_aff_pred.append(np.asarray(aff_pred).reshape(-1))
+                        val_aff_true.append(np.asarray(aff).reshape(-1))
             metrics = {
                 "loss": float(np.mean(losses)) if losses else 0.0,
                 "accuracy": float(np.mean(accs)) if accs else 0.0,

@@ -102,6 +102,10 @@ def get_parser():
     p.add_argument("--multiplicity_test", type=int, default=1,
                    help="repeat the test pass this many times with fresh "
                         "pose draws")
+    p.add_argument("--val_multiplicity", type=int, default=1,
+                   help="repeat the per-epoch val pass this many times with "
+                        "fresh pose draws (stabilises val_roc_auc / "
+                        "main-metric checkpoint selection on small val sets)")
     return p
 
 
@@ -284,6 +288,7 @@ def main():
         affinity_loss_weight=args.affinity_loss_weight,
         data_cfg=data_cfg,
         parallel=args.parallel,
+        val_multiplicity=args.val_multiplicity,
     )
     if not args.no_train:
         params, batch_stats = trainer.fit(args.n_epochs)

@@ -62,6 +62,10 @@ if [ ! -d $W/conf/best_model ]; then
     --cache_path $C/cache_filtering \
     --samples_per_complex $GEN_SPC --inference_steps 20 \
     --cache_ids_to_combine 1 2 --balance \
+    `# sc cutoff 2.0 (not the reference 1.0 default): at this corpus scale` \
+    `# generated poses rarely reach sc_rmsd<1 (pos rate 1%), which starves` \
+    `# the labels; at 2.0 the positive rate is ~23%/20% train/val` \
+    --sc_rmsd_classification_cutoff 2.0 --val_multiplicity 8 \
     --n_epochs $CONF_EPOCHS --batch_size 16 --lr 3e-4 \
     --main_metric val_roc_auc --main_metric_goal max \
     --log_dir $W --run_name conf

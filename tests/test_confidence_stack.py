@@ -116,6 +116,41 @@ def test_confidence_training_epoch(pose_caches, tmp_path):
     assert os.path.exists(str(tmp_path / "conf" / "model_parameters.yml"))
 
 
+def test_val_multiplicity_repeats_val_pass(pose_caches, tmp_path):
+    """val_multiplicity=k runs the per-epoch val loop k times with fresh
+    pose draws, stabilising val_roc_auc on small val sets."""
+    ds, paths = pose_caches
+    merged = combine_pose_caches(paths)
+    fd = FilteringDataset(ds, merged)
+    cfg = dataclasses.replace(TINY, confidence_mode=True)
+    trainer = ConfidenceTrainer(
+        cfg, fd, fd, run_dir=str(tmp_path / "conf_vm"), batch_size=2,
+        val_multiplicity=3,
+    )
+    calls = {"n": 0}
+    orig = trainer.eval_step
+
+    def counting_eval(*a):
+        calls["n"] += 1
+        return orig(*a)
+
+    trainer.eval_step = counting_eval
+    trainer.fit(n_epochs=1)
+    single = ConfidenceTrainer(
+        cfg, fd, fd, run_dir=str(tmp_path / "conf_vm1"), batch_size=2,
+    )
+    calls1 = {"n": 0}
+    orig1 = single.eval_step
+
+    def counting_eval1(*a):
+        calls1["n"] += 1
+        return orig1(*a)
+
+    single.eval_step = counting_eval1
+    single.fit(n_epochs=1)
+    assert calls["n"] == 3 * calls1["n"] > 0
+
+
 def test_roc_auc():
     labels = np.asarray([1, 1, 0, 0])
     assert roc_auc(labels, np.asarray([0.9, 0.8, 0.2, 0.1])) == 1.0
