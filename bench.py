@@ -268,6 +268,9 @@ def main():
                 "value": round(poses_per_sec, 3),
                 "unit": "poses/s",
                 "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 3),
+                # the baseline is a documented ESTIMATE (the reference's
+                # CUDA stack cannot run in this environment) — see BASELINE.md
+                "baseline_note": "vs ~2.7 poses/s reference-on-A100 estimate (derived, not measured; BASELINE.md)",
                 **extras,
             }
         )
