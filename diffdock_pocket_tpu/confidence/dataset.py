@@ -148,7 +148,9 @@ def combine_pose_caches(paths: list[str]) -> dict[str, PoseSample]:
     for c in caches[1:]:
         names &= set(c)
     merged = {}
-    for name in names:
+    # sorted: set iteration order is hash-seed dependent, which would make
+    # the merged dataset order (and thus training batches) vary run-to-run
+    for name in sorted(names):
         entries = [c[name] for c in caches]
         merged[name] = PoseSample(
             name=name,

@@ -26,6 +26,7 @@ Differences vs the reference (documented):
   write rank1_relaxed.sdf.
 """
 import argparse
+import dataclasses
 import logging
 import os
 import sys
@@ -85,6 +86,11 @@ def get_parser():
                         "steps — receptor internals barely change while the "
                         "ligand is far away at high sigma (perf knob; "
                         "quality-checked on the corpus journey)")
+    p.add_argument("--bf16_edge_attr", action="store_true",
+                   help="run the score model's XLA-side edge raw features "
+                        "and edge-MLP first layer in bf16 (perf knob; "
+                        "fp32-consistency unit-tested, quality-checked on "
+                        "the corpus journey)")
     p.add_argument("--no_final_step_noise", action=argparse.BooleanOptionalAction,
                    default=False)
     p.add_argument("--ode", action="store_true")
@@ -269,6 +275,8 @@ def main():
     score_cfg, score_vars = load_model_and_cfg(
         args, args.score_model_dir, args.score_ckpt, g_ex
     )
+    if args.bf16_edge_attr:
+        score_cfg = dataclasses.replace(score_cfg, bf16_edge_attr=True)
     if score_cfg.esm_embeddings_dim != g_ex.rec_esm.shape[-1]:
         raise SystemExit(
             f"score model expects {score_cfg.esm_embeddings_dim}-d ESM "

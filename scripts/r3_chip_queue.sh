@@ -1,0 +1,20 @@
+#!/bin/bash
+# Round-3 chip-serialized work queue (single-client TPU rule): waits for the
+# affinity journey to release the chip, then runs the compile-lottery
+# investigation (judge r2 ask #2).
+#   1. cache probe: does the persistent compilation cache hit across
+#      processes for the bench-shaped program?  -> results/compile_lottery_cache.json
+#   2. flag sweep: step-time distribution per XLA flag config over fresh
+#      caches -> results/compile_lottery.json
+# Run detached: nohup bash scripts/r3_chip_queue.sh > /tmp/r3_queue.log 2>&1 &
+set -x
+cd "$(dirname "$0")/.."
+
+while kill -0 "$(cat /tmp/affinity_journey.pid 2>/dev/null)" 2>/dev/null; do
+  sleep 60
+done
+echo "=== chip free: lottery cache probe ==="
+python scripts/repro_compile_lottery.py cache
+echo "=== lottery flag sweep ==="
+TRIALS=3 CONFIGS=baseline,no_lhs,lhs_rerun python scripts/repro_compile_lottery.py
+echo "=== r3 chip queue done ==="
