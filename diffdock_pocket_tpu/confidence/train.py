@@ -191,6 +191,10 @@ class ConfidenceTrainer:
             parallel_affinity=par_aff,
         ))
         self.transfer_params = transfer_params
+        # affinity label standardization (cfg.affinity_norm): the head is
+        # trained on z-scores; metrics are reported in label units
+        self.aff_mean, self.aff_std = getattr(cfg, "affinity_norm", (0.0, 1.0))
+        self.aff_std = self.aff_std or 1.0
         # repeat the per-epoch val pass with fresh pose draws: with few val
         # complexes one draw each gives far too few points for a stable
         # ROC-AUC (and hence for main_metric checkpoint selection)
@@ -260,8 +264,9 @@ class ConfidenceTrainer:
                     batch_stats = variables.get("batch_stats", {})
                     opt_state = self.optimizer.init(params)
                 key, sub = jax.random.split(key)
+                aff_z = (aff - self.aff_mean) / self.aff_std
                 params, batch_stats, opt_state, aux = self.train_step(
-                    params, batch_stats, opt_state, sub, g, y, aff, tvals
+                    params, batch_stats, opt_state, sub, g, y, aff_z, tvals
                 )
                 losses.append(float(aux["loss"]))
                 accs.append(float(aux["accuracy"]))
@@ -272,14 +277,19 @@ class ConfidenceTrainer:
             val_aff_pred, val_aff_true = [], []
             for _ in range(self.val_multiplicity):
                 for g, y, aff, tvals in self._batches(self.val_data, rng):
+                    aff_z = (aff - self.aff_mean) / self.aff_std
                     loss, logits, aff_pred = self.eval_step(
-                        params, batch_stats, g, y, aff, tvals
+                        params, batch_stats, g, y, aff_z, tvals
                     )
                     val_losses.append(float(loss))
                     val_scores.append(np.asarray(logits).reshape(-1))
                     val_labels.append(np.asarray(y).reshape(-1))
                     if aff_pred is not None:
-                        val_aff_pred.append(np.asarray(aff_pred).reshape(-1))
+                        # un-standardize: report MSE in label units
+                        val_aff_pred.append(
+                            np.asarray(aff_pred).reshape(-1) * self.aff_std
+                            + self.aff_mean
+                        )
                         val_aff_true.append(np.asarray(aff).reshape(-1))
             metrics = {
                 "loss": float(np.mean(losses)) if losses else 0.0,
@@ -322,8 +332,9 @@ class ConfidenceTrainer:
         losses, scores, labels = [], [], []
         for _ in range(max(1, multiplicity)):
             for g, y, aff, tvals in self._batches(data, rng):
+                aff_z = (aff - self.aff_mean) / self.aff_std
                 loss, logits, _ = self.eval_step(
-                    params, batch_stats, g, y, aff, tvals
+                    params, batch_stats, g, y, aff_z, tvals
                 )
                 losses.append(float(loss))
                 scores.append(np.asarray(logits).reshape(-1))

@@ -108,6 +108,13 @@ class ModelConfig:
     confidence_dropout: float = 0.0
     confidence_no_batchnorm: bool = False
     affinity_prediction: bool = False
+    # train-set label statistics (mean, std): the affinity head predicts
+    # z-scores internally (a freshly initialized head outputting ~0 then
+    # already predicts the train mean, instead of spending most of training
+    # crawling toward label scale — the reference trains on raw -logKd and
+    # pays exactly that warmup).  Reported/emitted affinities are always
+    # un-standardized back to label units (confidence/train.py, pipeline.py).
+    affinity_norm: tuple = (0.0, 1.0)
     parallel: int = 1
     parallel_aggregators: str = "mean max min std"
 
@@ -124,6 +131,8 @@ class ModelConfig:
         sig = d.pop("sigma", None)
         names = {f.name for f in dataclasses.fields(ModelConfig)}
         kwargs = {k: v for k, v in d.items() if k in names and k != "sigma"}
+        if "affinity_norm" in kwargs and kwargs["affinity_norm"] is not None:
+            kwargs["affinity_norm"] = tuple(kwargs["affinity_norm"])  # yml list
         if sig is not None:
             kwargs["sigma"] = SigmaConfig(**sig) if isinstance(sig, dict) else sig
         return ModelConfig(**kwargs)

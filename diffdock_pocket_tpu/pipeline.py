@@ -57,6 +57,10 @@ def split_confidence_output(conf: Optional[np.ndarray], conf_cfg) -> tuple:
     aff = None
     if conf.ndim == 2 and getattr(conf_cfg, "affinity_prediction", False):
         aff = conf[:, -1]
+        # the head predicts z-scores of the train labels
+        # (ModelConfig.affinity_norm); emit label units
+        mean, std = getattr(conf_cfg, "affinity_norm", (0.0, 1.0)) or (0.0, 1.0)
+        aff = aff * std + mean
         conf = conf[:, :-1]
         if conf.shape[-1] == 1:
             conf = conf[:, 0]

@@ -237,10 +237,22 @@ def main():
         else list(args.rmsd_classification_cutoff)
     )
     affinities = None
+    affinity_norm = (0.0, 1.0)
     if args.affinity_prediction:
         from diffdock_pocket_tpu.confidence.dataset import load_affinity_index
 
         affinities = load_affinity_index(args.affinity_index)
+        # train-split label statistics -> the head trains on z-scores
+        # (ModelConfig.affinity_norm; persisted in model_parameters.yml so
+        # inference un-standardizes its emitted affinities)
+        import numpy as _np
+
+        vals = _np.asarray([
+            affinities[str(n)] for n in train_set.df["complex_name"]
+            if str(n) in affinities
+        ])
+        if len(vals):
+            affinity_norm = (float(vals.mean()), float(vals.std() or 1.0))
     train_fd = FilteringDataset(
         train_set, poses["train"], cutoff, args.sc_rmsd_classification_cutoff,
         balance=args.balance, affinities=affinities,
@@ -264,6 +276,7 @@ def main():
         flexible_sidechains=score_cfg.flexible_sidechains,
         confidence_mode=True, num_confidence_outputs=n_outputs,
         affinity_prediction=args.affinity_prediction,
+        affinity_norm=affinity_norm,
         confidence_dropout=args.confidence_dropout,
         confidence_no_batchnorm=args.confidence_no_batchnorm,
         parallel=args.parallel,

@@ -204,6 +204,51 @@ def test_affinity_labels_and_training(pose_caches, tmp_path):
     assert params is not None
 
 
+def test_affinity_standardization(pose_caches, tmp_path):
+    """With affinity_norm set to the train-label stats the head trains on
+    z-scores but val_affinity_mse is reported in LABEL units: a fresh head
+    (output ~0 = predict-the-mean) must report ~label-variance MSE, not the
+    ~mean^2 it would if the un-standardization were missing."""
+    import json
+
+    ds, paths = pose_caches
+    merged = combine_pose_caches(paths)
+    aff = {"cplx0": 5.52, "cplx1": 7.10, "cplx2": 6.2}
+    labels = np.asarray(list(aff.values()))
+    fd = FilteringDataset(ds, merged, affinities=aff)
+    cfg = dataclasses.replace(
+        TINY, confidence_mode=True, affinity_prediction=True,
+        affinity_norm=(float(labels.mean()), float(labels.std())),
+    )
+    trainer = ConfidenceTrainer(
+        cfg, fd, fd, run_dir=str(tmp_path / "conf_aff_std"), batch_size=2,
+    )
+    trainer.fit(n_epochs=1)
+    with open(tmp_path / "conf_aff_std" / "metrics.jsonl") as fh:
+        m = json.loads(fh.readlines()[-1])
+    # label variance ~0.43, mean^2 ~39: anything < 10 proves label units
+    assert 0.0 <= m["val_affinity_mse"] < 10.0
+
+    # the persisted yml round-trips the norm (inference relies on it)
+    from diffdock_pocket_tpu.utils import checkpoint as ckptlib
+
+    cfg2 = ckptlib.load_yaml_config(str(tmp_path / "conf_aff_std"))
+    assert tuple(cfg2.affinity_norm) == cfg.affinity_norm
+
+
+def test_split_confidence_output_unstandardizes():
+    """pipeline.split_confidence_output maps z-score affinity outputs back
+    to label units via cfg.affinity_norm."""
+    from types import SimpleNamespace
+
+    from diffdock_pocket_tpu.pipeline import split_confidence_output
+
+    cfg = SimpleNamespace(affinity_prediction=True, affinity_norm=(6.0, 2.0))
+    out = np.asarray([[0.3, 1.0], [-0.1, -0.5]])
+    c, a = split_confidence_output(out, cfg)
+    assert np.allclose(c, [0.3, -0.1]) and np.allclose(a, [8.0, 5.0])
+
+
 def test_trajectory_sampling(tmp_path):
     """Trajectory-step confidence training: pose cache stores trajectories,
     get() serves an intermediate step with t = step/(steps-1) while the
