@@ -13,11 +13,21 @@ _DONE = False
 
 def setup(platform: str | None = None, cache_dir: str | None = None) -> None:
     global _DONE
+    platform = platform or os.environ.get("DDP_TPU_PLATFORM")
     if platform is not None:
         os.environ["JAX_PLATFORMS"] = platform
     if _DONE:
         return
     import jax
+
+    if platform is not None:
+        # This environment's TPU plugin registers itself at interpreter
+        # start and force-sets jax_platforms via jax.config, which takes
+        # precedence over the JAX_PLATFORMS env var — so an explicit
+        # platform request (arg or DDP_TPU_PLATFORM) must also go through
+        # jax.config to take effect.  Works as long as no backend has been
+        # initialized yet, which holds at entry-point start.
+        jax.config.update("jax_platforms", platform)
 
     if cache_dir is None:
         cache_dir = os.environ.get(

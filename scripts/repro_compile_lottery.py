@@ -118,28 +118,43 @@ def run_trial_subprocess(cache_dir: str, label: str, xla_flags: str,
     if out is None:
         out = {"label": label, "error": (p.stderr or "")[-2000:]}
     out["stderr_tail"] = (p.stderr or "")[-500:]
+    out["stderr_full"] = p.stderr or ""
     return out
 
 
 def mode_cache():
     """Does the persistent cache hit for this program across processes?"""
     with tempfile.TemporaryDirectory(prefix="lottery_cache_") as cache:
-        first = run_trial_subprocess(cache, "cache_populate", "")
+        # jax._src.cache_key DEBUG logs the per-entry hash (computation,
+        # backend version, accelerator_config, ...) — if the key differs
+        # across processes this pinpoints WHICH entry varies (suspect:
+        # platform_version embedding a per-process axon session id)
+        dbg = ("jax._src.compilation_cache,jax._src.compiler,"
+               "jax._src.cache_key")
+        first = run_trial_subprocess(
+            cache, "cache_populate", "",
+            extra_env={"JAX_DEBUG_LOG_MODULES": dbg})
         print("first:", json.dumps({k: first.get(k) for k in
                                     ("compile_s", "step_ms")}))
         second = run_trial_subprocess(
             cache, "cache_reuse", "",
-            extra_env={"JAX_DEBUG_LOG_MODULES":
-                       "jax._src.compilation_cache,jax._src.compiler"},
+            extra_env={"JAX_DEBUG_LOG_MODULES": dbg},
         )
         print("second:", json.dumps({k: second.get(k) for k in
                                      ("compile_s", "step_ms")}))
-        tail = second.get("stderr_tail", "")
         hit = second.get("compile_s", 1e9) < max(
             30.0, 0.25 * first.get("compile_s", 1e9))
         print(f"persistent cache hit: {hit}")
+        # per-entry cache-key hashes from both processes: any entry whose
+        # hash differs across the two runs explains a structural miss
+        def key_lines(r):
+            return [ln for ln in (r.get("stderr_full") or "").splitlines()
+                    if "get_cache_key hash" in ln]
         out = {"first": first, "second": second, "cache_hit": hit,
-               "second_log_tail": tail}
+               "first_key_entries": key_lines(first),
+               "second_key_entries": key_lines(second)}
+        for r in (first, second):
+            r.pop("stderr_full", None)
         path = os.path.join(REPO, "results", "compile_lottery_cache.json")
         json.dump(out, open(path, "w"), indent=2)
         print("wrote", path)
@@ -156,6 +171,7 @@ def mode_sweep():
             with tempfile.TemporaryDirectory(prefix="lottery_") as cache:
                 r = run_trial_subprocess(cache, f"{name}#{i}", flags)
             r["config"] = name
+            r.pop("stderr_full", None)
             results.append(r)
             print(json.dumps({k: r.get(k) for k in
                               ("label", "compile_s", "step_ms", "error")}))

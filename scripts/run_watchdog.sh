@@ -16,7 +16,14 @@ for try in $(seq 1 "$RETRIES"); do
     sleep 30
     cpu=$(awk '{print $14+$15}' "/proc/$PID/stat" 2>/dev/null)
     [ -z "$cpu" ] && break
-    if [ "$cpu" = "$last_cpu" ]; then stalled=$((stalled+30)); else stalled=0; fi
+    # threshold, not equality: a wedged tunnel client still accrues ~1 tick
+    # per poll (observed: 1 tick/10s while hung in wait_woken), which would
+    # reset a strict-equality stall counter forever
+    if [ "$last_cpu" -ge 0 ] && [ $((cpu - last_cpu)) -le 3 ]; then
+      stalled=$((stalled+30))
+    else
+      stalled=0
+    fi
     last_cpu=$cpu
     if [ "$stalled" -ge "$STALL_S" ]; then
       echo "watchdog: no CPU progress for ${STALL_S}s; killing PID $PID (attempt $try/$RETRIES)" >&2
