@@ -85,6 +85,11 @@ def trial(cache_dir: str, label: str):
     pipe.dock(data, jax.random.PRNGKey(1))
     wall = time.time() - t0
     step_ms = wall / steps * 1e3
+    # platform_version is hashed verbatim into the persistent cache key
+    # (jax cache_key.py::_hash_platform); record it so a per-process
+    # varying substring (e.g. the plugin's session id) is directly visible
+    # when two trial processes' keys disagree.
+    backend = jax.devices()[0].client
     print(json.dumps({
         "label": label,
         "xla_flags": os.environ.get("XLA_FLAGS", ""),
@@ -92,6 +97,7 @@ def trial(cache_dir: str, label: str):
         "wall_s": round(wall, 2),
         "step_ms": round(step_ms, 1),
         "poses_per_s": round(batch / wall, 2),
+        "platform_version": getattr(backend, "platform_version", ""),
     }))
 
 
