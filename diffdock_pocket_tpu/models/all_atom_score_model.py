@@ -331,15 +331,20 @@ class AllAtomScoreModel(nn.Module):
             return x[..., :ns]
 
         from ..ops.pallas_tp import backend_is_tpu, fused_tp_messages_multi
+        from ..ops.pallas_tp_fc import fused_fc_tp_messages_multi
 
-        batch_families = cfg.batch_conv_families and faster and backend_is_tpu()
+        # all conv families of a layer share irreps -> batch them into ONE
+        # fused kernel launch; the lmax=1 fast path and the general CG path
+        # (second-order reps) have separate kernels but the same batching
+        batch_families = cfg.batch_conv_families and backend_is_tpu()
 
         def run_convs(specs, in_ir, out_ir):
             """Run conv families [(module, x_dst, sh, attr, ew), ...].
 
             On TPU all families of a layer share irreps and launch as ONE
-            fused Pallas kernel (fused_tp_messages_multi) — ~10x fewer
-            launches/DMA stalls per layer; elsewhere falls back to the
+            fused Pallas kernel (fused_tp_messages_multi, or the general
+            fused_fc_tp_messages_multi on the second-order path) — ~10x
+            fewer launches/DMA stalls per layer; elsewhere falls back to the
             per-family TPConv paths (identical math)."""
             if not batch_families:
                 return [c(x, s, a, w, deterministic=det) for c, x, s, a, w in specs]
@@ -359,9 +364,19 @@ class AllAtomScoreModel(nn.Module):
                     ew.reshape(-1),
                     w2, b2,
                 ))
-            outs = fused_tp_messages_multi(
-                tuple(parts), str(Irreps.parse(in_ir)), str(Irreps.parse(out_ir))
-            )
+            from ..ops.pallas_tp import fused_interpret
+
+            interp = fused_interpret()
+            if faster:
+                outs = fused_tp_messages_multi(
+                    tuple(parts), str(Irreps.parse(in_ir)),
+                    str(Irreps.parse(out_ir)), interp
+                )
+            else:
+                outs = fused_fc_tp_messages_multi(
+                    tuple(parts), str(Irreps.parse(in_ir)), shirr,
+                    str(Irreps.parse(out_ir)), interp
+                )
             return [o.reshape(lead + (o.shape[-1],)) for o, lead in zip(outs, leads)]
 
         for l in range(cfg.num_conv_layers):

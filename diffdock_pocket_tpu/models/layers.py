@@ -187,25 +187,48 @@ class TPConv(nn.Module):
             # kernel launch (ops/pallas_tp.py::fused_tp_messages_multi)
             return h, w2, b2
 
-        # fused kernel (custom VJP: forward and backward are both Pallas
-        # kernels — ops/pallas_tp.py, ops/pallas_tp_bwd.py)
+        # fused kernels: the lmax=1 fast path has hand-written fwd+bwd Pallas
+        # kernels (ops/pallas_tp.py, ops/pallas_tp_bwd.py); the general CG
+        # path (second-order reps / sh_lmax=2, faster=False) has a fused
+        # Pallas forward with an XLA-recompute backward (ops/pallas_tp_fc.py)
         use_fused = self.fused and self.faster and backend_is_tpu()
-        if use_fused:
+        use_fused_fc = (
+            self.fused and not self.faster and backend_is_tpu()
+            and all(mul == 1 for mul, _ in _Irreps.parse(self.sh_irreps))
+        )
+        if use_fused or use_fused_fc:
             lead = h.shape[:-1]
             if isinstance(edge_weight, float):
                 ew = jnp.full(lead, edge_weight, jnp.float32)
             else:
                 ew = jnp.broadcast_to(edge_weight, lead)
-            msgs = fused_tp_messages(
+            flat = (
                 h.reshape(-1, hidden),
                 x_dst.reshape(-1, x_dst.shape[-1]),
                 edge_sh.reshape(-1, edge_sh.shape[-1]),
                 ew.reshape(-1),
                 w2, b2,
-                str(_Irreps.parse(self.in_irreps)),
-                str(_Irreps.parse(self.out_irreps)),
-                False,
             )
+            from ..ops.pallas_tp import fused_interpret
+
+            interp = fused_interpret()
+            if use_fused:
+                msgs = fused_tp_messages(
+                    *flat,
+                    str(_Irreps.parse(self.in_irreps)),
+                    str(_Irreps.parse(self.out_irreps)),
+                    interp,
+                )
+            else:
+                from ..ops.pallas_tp_fc import fused_fc_tp_messages
+
+                msgs = fused_fc_tp_messages(
+                    *flat,
+                    str(_Irreps.parse(self.in_irreps)),
+                    str(_Irreps.parse(self.sh_irreps)),
+                    str(_Irreps.parse(self.out_irreps)),
+                    interp,
+                )
             return msgs.reshape(lead + (msgs.shape[-1],))
 
         w = h @ w2 + b2

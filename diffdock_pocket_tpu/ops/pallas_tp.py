@@ -323,7 +323,23 @@ def _forward_impl(
     return out_t.T[:E]
 
 
+def fused_interpret() -> bool:
+    """DDP_TPU_FUSED_INTERPRET=1 routes the model's fused-kernel dispatches
+    through Pallas interpret mode — lets CPU tests exercise the full
+    model-level wiring (reshapes, irreps strings, multi-family batching)
+    of both kernel families, not just the op-level contracts."""
+    return _os.environ.get("DDP_TPU_FUSED_INTERPRET") == "1"
+
+
 def backend_is_tpu() -> bool:
+    """Gate for the fused TP kernels (this module + ops/pallas_tp_fc.py).
+    DDP_TPU_NO_FUSED_TP=1 forces the unfused XLA path even on TPU — an A/B
+    switch for profiling (scripts/profile_lmax2.py), read at trace time.
+    DDP_TPU_FUSED_INTERPRET=1 makes the gate pass on CPU (interpret mode)."""
+    if _os.environ.get("DDP_TPU_NO_FUSED_TP") == "1":
+        return False
+    if fused_interpret():
+        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:

@@ -1,0 +1,373 @@
+"""Pallas TPU kernel: fused edge-MLP second layer + FullyConnectedTensorProduct.
+
+Generalizes ops/pallas_tp.py (the lmax=1 FasterTensorProduct fast path) to
+arbitrary Clebsch-Gordan paths — in particular the second-order model family
+(--use_second_order_repr / --sh_lmax 2, reference models/score_model.py
+``o3.FullyConnectedTensorProduct``), whose convs previously fell back to the
+unfused XLA path: the [E, weight_numel] per-edge weight tensor materialized
+in HBM and the TP lowered to batched tiny matmuls (judge r2 ask #8).
+
+Same layout contract as the lmax=1 kernel (see pallas_tp.py's docstring for
+the reasoning): edges on lanes in TILE-wide blocks, per-type weight matmuls
+[fin*fout_pad, H+1] @ [H+1, TILE] on the MXU with the MLP bias folded as an
+extra column against a ones row, TP apply as unrolled [fout_pad, TILE] FMAs
+on the VPU.  The only structural difference is candidate construction: the
+scalar/dot/cross identities are replaced by the generic CG contraction
+cand_c = sum_{a,b} cg[a,b,c] * x_a * sh_b, unrolled at trace time over the
+nonzero cg entries (cg tensors come from ops/wigner.py and are already in
+the FCTP normalization, * sqrt(2*l3+1)); (a, b) product rows are memoized
+per channel since multiple output components share them.
+
+GRADIENT SCOPE: custom VJP with exact cotangents for h, x_dst and the MLP
+weights via an XLA recompute of the unfused math (fp32), ZEROS for d(sh) and
+d(edge_weight) — identical contract to fused_tp_messages (positions must be
+held constant; use ops/tensor_product.py for position gradients).  Unlike
+the lmax=1 pair there is no hand-written backward kernel: the second-order
+family is an opt-in architecture, so training it pays the unfused backward
+while inference gets the fused forward.
+
+interpret=True runs on CPU for tests (tests/test_pallas_fc.py).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .irreps import Irreps
+from .tensor_product import FullyConnectedTensorProduct
+from .pallas_tp import TILE, SUB, _ceil_to, _FLOP_TRACE  # noqa: F401
+
+from . import pallas_tp as _base
+
+
+def _plan_fc(tp: FullyConnectedTensorProduct):
+    """Static layout plan per OUTPUT BLOCK: (fin, fout, fout_pad, row offset
+    into the padded transposed weight matrix), in out-irreps order."""
+    plan = []
+    off = 0
+    for ko, (mul_o, _) in enumerate(tp.out_irreps):
+        fin = tp.fan_in[ko]
+        fout = mul_o if fin else 0
+        fout_pad = _ceil_to(fout, SUB) if fout else 0
+        plan.append((fin, fout, fout_pad, off))
+        off += fin * fout_pad
+    return plan, off
+
+
+def _channels_fc(tp: FullyConnectedTensorProduct):
+    """Per output block: fan-in channels [(ki, u, ks, cg_nonzeros)] in FCTP
+    weight order (path-major, input-channel-minor), where cg_nonzeros is the
+    static list [(a, b, c, coeff)] of nonzero CG entries."""
+    chans = []
+    for plist in tp.paths:
+        cl = []
+        for ki, ks, cg in plist:
+            mul_i = tp.in_irreps.blocks[ki][0]
+            nz = [
+                (int(a), int(b), int(c), float(cg[a, b, c]))
+                for a, b, c in zip(*np.nonzero(np.abs(cg) > 1e-12))
+            ]
+            for u in range(mul_i):
+                cl.append((ki, u, ks, nz, cg.shape[2]))
+        chans.append(cl)
+    return chans
+
+
+def _relayout_w2_fc(w2, b2, tp: FullyConnectedTensorProduct):
+    """[H, numel] -> transposed padded [rows_pad, H] (+ bias), rows ordered
+    (out block, fan-in channel, fout_pad) — generalizes pallas_tp's
+    _relayout_w2 from the 4 fixed lmax=1 types to arbitrary out blocks."""
+    plan, rows = _plan_fc(tp)
+    H = w2.shape[0]
+    out = jnp.zeros((rows, H), w2.dtype)
+    ob = jnp.zeros((rows,), b2.dtype)
+    col = 0
+    for fin, fout, fout_pad, off in plan:
+        if fin * fout == 0:
+            continue
+        blk = w2[:, col : col + fin * fout]
+        bb = b2[col : col + fin * fout]
+        col += fin * fout
+        blk = blk.T.reshape(fin, fout, H)
+        bb = bb.reshape(fin, fout)
+        blk = jnp.pad(blk, [(0, 0), (0, fout_pad - fout), (0, 0)])
+        bb = jnp.pad(bb, [(0, 0), (0, fout_pad - fout)])
+        out = out.at[off : off + fin * fout_pad].set(blk.reshape(fin * fout_pad, H))
+        ob = ob.at[off : off + fin * fout_pad].set(bb.reshape(fin * fout_pad))
+    return out, ob
+
+
+def _aug_w2_fc(w2, b2, tp):
+    w2t, b2p = _relayout_w2_fc(w2.astype(jnp.bfloat16), b2.astype(jnp.float32), tp)
+    return jnp.concatenate([w2t, b2p[:, None].astype(jnp.bfloat16)], axis=1)
+
+
+def _record_flops_fc(tp, plan, chans, rows_pad, H, E_pad_total):
+    """Closed-form kernel FLOPs (same registry as pallas_tp: XLA's
+    cost_analysis excludes custom calls, bench sums these in for MFU)."""
+    if _base._FLOP_TRACE is None:
+        return
+    per_edge = 2.0 * rows_pad * (H + 1) + 2.0 * rows_pad  # matmuls + ew scale
+    for (fin, fout, fout_pad, _), cl in zip(plan, chans):
+        if fin * fout == 0:
+            continue
+        for _, _, _, nz, d_o in cl:
+            # candidate: one mul per distinct (a,b) product + 2 per nz term;
+            # apply: FMA of [fout_pad] rows per component
+            per_edge += len({(a, b) for a, b, _, _ in nz}) + 2.0 * len(nz)
+            per_edge += 2.0 * d_o * fout_pad
+    _base._FLOP_TRACE.append(per_edge * E_pad_total)
+
+
+def _kernel_core_fc(tp, plan, chans, h, x, sh, ew, w2a, out_ref):
+    """All arrays transposed: h [H+1, T] (ones last row), x [din, T],
+    sh [d_sh, T], ew [1, T], w2a [rows_pad, H+1] (bias last column),
+    out [dout, T]."""
+    in_slices = tp.in_irreps.slices()
+    sh_slices = tp.sh_irreps.slices()
+    in_dims = [ir.dim for _, ir in tp.in_irreps]
+
+    out_rows = []
+    for ko, (mul_o, ir_o) in enumerate(tp.out_irreps):
+        fin, fout, fout_pad, roff = plan[ko]
+        d_o = ir_o.dim
+        if fin * fout == 0:
+            out_rows.append(jnp.zeros((mul_o * d_o, h.shape[1]), jnp.float32))
+            continue
+        n = fin * fout_pad
+        wt = jnp.dot(
+            w2a[roff : roff + n, :], h,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,  # pin: ambient HIGHEST would
+            # ask Mosaic for fp32-emulated bf16 dots ("Bad lhs type")
+        )
+        wt = wt * ew * (1.0 / math.sqrt(max(fin, 1)))
+
+        accs = [jnp.zeros((fout_pad, h.shape[1]), jnp.float32) for _ in range(d_o)]
+        for ci, (ki, u, ks, nz, _) in enumerate(chans[ko]):
+            xoff = in_slices[ki].start + u * in_dims[ki]
+            soff = sh_slices[ks].start
+            ws = wt[ci * fout_pad : (ci + 1) * fout_pad]
+            prods: dict[tuple[int, int], jax.Array] = {}
+            cand: dict[int, jax.Array] = {}
+            for a, b, c, coeff in nz:
+                p = prods.get((a, b))
+                if p is None:
+                    p = x[xoff + a : xoff + a + 1] * sh[soff + b : soff + b + 1]
+                    prods[(a, b)] = p
+                term = p * coeff
+                cand[c] = term if c not in cand else cand[c] + term
+            for c, row in cand.items():
+                accs[c] = accs[c] + row * ws
+        # interleave rows (mul-major, component-minor) to match _merge_blocks
+        rows = []
+        for m in range(fout):
+            rows += [accs[c][m : m + 1] for c in range(d_o)]
+        out_rows.append(jnp.concatenate(rows, axis=0))
+
+    out_ref[:] = jnp.concatenate(out_rows, axis=0)
+
+
+def _kernel_body_fc(tp, plan, chans, h_ref, x_ref, sh_ref, ew_ref, w2a_ref, out_ref):
+    _kernel_core_fc(tp, plan, chans, h_ref[:], x_ref[:], sh_ref[:], ew_ref[:],
+                    w2a_ref[:], out_ref)
+
+
+def _forward_impl_fc(h, x_dst, sh, edge_weight, w2, b2,
+                     in_irreps: str, sh_irreps: str, out_irreps: str,
+                     interpret: bool = False):
+    """Messages [E, dout] = FCTP(x_dst, sh, (h @ w2 + b2) * ew); output layout
+    matches FullyConnectedTensorProduct exactly (tests/test_pallas_fc.py)."""
+    tp = FullyConnectedTensorProduct(in_irreps, sh_irreps, out_irreps)
+    E, H = h.shape
+    din = x_dst.shape[-1]
+    d_sh = sh.shape[-1]
+    dout = tp.out_irreps.dim
+    E_pad = _ceil_to(max(E, TILE), TILE)
+    if E_pad != E:
+        pad = [(0, E_pad - E)]
+        h = jnp.pad(h, pad + [(0, 0)])
+        x_dst = jnp.pad(x_dst, pad + [(0, 0)])
+        sh = jnp.pad(sh, pad + [(0, 0)])
+        edge_weight = jnp.pad(edge_weight, pad)
+
+    plan, rows_pad = _plan_fc(tp)
+    chans = _channels_fc(tp)
+    _record_flops_fc(tp, plan, chans, rows_pad, H, E_pad)
+    w2a = _aug_w2_fc(w2, b2, tp)
+
+    ht = _base._aug_h(h.astype(jnp.bfloat16).T)
+    xt = x_dst.T
+    sht = sh.T
+    ewt = edge_weight[None, :].astype(jnp.float32)
+
+    kernel = functools.partial(_kernel_body_fc, tp, plan, chans)
+    out_t = pl.pallas_call(
+        kernel,
+        grid=(E_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((H + 1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_sh, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_pad, H + 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((dout, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((dout, E_pad), jnp.float32),
+        interpret=interpret,
+    )(ht, xt, sht, ewt, w2a)
+    return out_t.T[:E]
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: Pallas forward + exact XLA-recompute backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def fused_fc_tp_messages(h, x_dst, sh, edge_weight, w2, b2,
+                         in_irreps: str, sh_irreps: str, out_irreps: str,
+                         interpret: bool = False):
+    """Differentiable fused FCTP conv (see _forward_impl_fc / module docs)."""
+    return _forward_impl_fc(h, x_dst, sh, edge_weight, w2, b2,
+                            in_irreps, sh_irreps, out_irreps, interpret)
+
+
+def _fc_fwd(h, x_dst, sh, edge_weight, w2, b2,
+            in_irreps, sh_irreps, out_irreps, interpret):
+    out = _forward_impl_fc(h, x_dst, sh, edge_weight, w2, b2,
+                           in_irreps, sh_irreps, out_irreps, interpret)
+    return out, (h, x_dst, sh, edge_weight, w2, b2)
+
+
+def _fc_bwd_one(h, x_dst, sh, edge_weight, w2, b2, g,
+                in_irreps, sh_irreps, out_irreps):
+    tp = FullyConnectedTensorProduct(in_irreps, sh_irreps, out_irreps)
+
+    def f(h_, x_, w2_, b2_):
+        w = (h_ @ w2_ + b2_) * edge_weight[..., None]
+        return tp(x_, sh, w)
+
+    _, vjp = jax.vjp(f, h, x_dst, w2, b2)
+    dh, dx, dw2, db2 = vjp(g)
+    return dh, dx, jnp.zeros_like(sh), jnp.zeros_like(edge_weight), dw2, db2
+
+
+def _fc_bwd(in_irreps, sh_irreps, out_irreps, interpret, res, g):
+    h, x_dst, sh, edge_weight, w2, b2 = res
+    return _fc_bwd_one(h, x_dst, sh, edge_weight, w2, b2, g,
+                       in_irreps, sh_irreps, out_irreps)
+
+
+fused_fc_tp_messages.defvjp(_fc_fwd, _fc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# multi-family variant: ONE pallas_call for all conv families of a layer
+# (same scalar-prefetch W2 streaming as pallas_tp.fused_tp_messages_multi)
+# ---------------------------------------------------------------------------
+
+def _kernel_body_fc_multi(tp, plan, chans, fam_ref, h_ref, x_ref, sh_ref,
+                          ew_ref, w2a_ref, out_ref):
+    del fam_ref  # consumed by the BlockSpec index maps
+    _kernel_core_fc(tp, plan, chans, h_ref[:], x_ref[:], sh_ref[:], ew_ref[:],
+                    w2a_ref[0], out_ref)
+
+
+def _forward_multi_impl_fc(parts, in_irreps: str, sh_irreps: str,
+                           out_irreps: str, interpret: bool = False):
+    tp = FullyConnectedTensorProduct(in_irreps, sh_irreps, out_irreps)
+    plan, rows_pad = _plan_fc(tp)
+    chans = _channels_fc(tp)
+    H = parts[0][0].shape[-1]
+    din = parts[0][1].shape[-1]
+    d_sh = parts[0][2].shape[-1]
+    dout = tp.out_irreps.dim
+
+    hts, xts, shts, ewts, w2as, fam_ids, sizes = [], [], [], [], [], [], []
+    for f, (h, x_dst, sh, edge_weight, w2, b2) in enumerate(parts):
+        E = h.shape[0]
+        E_pad = _ceil_to(max(E, TILE), TILE)
+        sizes.append((E, E_pad))
+        if E_pad != E:
+            pad = [(0, E_pad - E)]
+            h = jnp.pad(h, pad + [(0, 0)])
+            x_dst = jnp.pad(x_dst, pad + [(0, 0)])
+            sh = jnp.pad(sh, pad + [(0, 0)])
+            edge_weight = jnp.pad(edge_weight, pad)
+        hts.append(h.astype(jnp.bfloat16).T)
+        xts.append(x_dst.T)
+        shts.append(sh.T)
+        ewts.append(edge_weight[None, :].astype(jnp.float32))
+        w2as.append(_aug_w2_fc(w2, b2, tp))
+        fam_ids += [f] * (E_pad // TILE)
+
+    _record_flops_fc(tp, plan, chans, rows_pad, H, sum(ep for _, ep in sizes))
+    ht = jnp.concatenate(hts, axis=1)
+    ht = jnp.concatenate([ht, jnp.ones((1, ht.shape[1]), ht.dtype)], axis=0)
+    xt = jnp.concatenate(xts, axis=1)
+    sht = jnp.concatenate(shts, axis=1)
+    ewt = jnp.concatenate(ewts, axis=1)
+    w2a = jnp.stack(w2as)
+    fam_map = jnp.asarray(fam_ids, jnp.int32)
+    n_tiles = len(fam_ids)
+
+    kernel = functools.partial(_kernel_body_fc_multi, tp, plan, chans)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((H + 1, TILE), lambda i, fam: (0, i)),
+            pl.BlockSpec((din, TILE), lambda i, fam: (0, i)),
+            pl.BlockSpec((d_sh, TILE), lambda i, fam: (0, i)),
+            pl.BlockSpec((1, TILE), lambda i, fam: (0, i)),
+            pl.BlockSpec((1, rows_pad, H + 1), lambda i, fam: (fam[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((dout, TILE), lambda i, fam: (0, i)),
+    )
+    out_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((dout, n_tiles * TILE), jnp.float32),
+        interpret=interpret,
+    )(fam_map, ht, xt, sht, ewt, w2a)
+
+    outs = []
+    off = 0
+    for E, E_pad in sizes:
+        outs.append(out_t[:, off : off + E].T)
+        off += E_pad
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_fc_tp_messages_multi(parts, in_irreps: str, sh_irreps: str,
+                               out_irreps: str, interpret: bool = False):
+    """Multi-family fused FCTP conv (one kernel launch per model layer)."""
+    return _forward_multi_impl_fc(parts, in_irreps, sh_irreps, out_irreps,
+                                  interpret)
+
+
+def _fc_multi_fwd(parts, in_irreps, sh_irreps, out_irreps, interpret):
+    return (
+        _forward_multi_impl_fc(parts, in_irreps, sh_irreps, out_irreps, interpret),
+        parts,
+    )
+
+
+def _fc_multi_bwd(in_irreps, sh_irreps, out_irreps, interpret, parts, gs):
+    douts = []
+    for (h, x_dst, sh, ew, w2, b2), g in zip(parts, gs):
+        douts.append(
+            _fc_bwd_one(h, x_dst, sh, ew, w2, b2, g,
+                        in_irreps, sh_irreps, out_irreps)
+        )
+    return (tuple(douts),)
+
+
+fused_fc_tp_messages_multi.defvjp(_fc_multi_fwd, _fc_multi_bwd)

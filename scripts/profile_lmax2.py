@@ -1,11 +1,14 @@
 """sh_lmax=2 (second-order irreps) forward-cost measurement (judge ask #8).
 
-The fused Pallas kernels cover the lmax=1 FasterTensorProduct decomposition
-(the published model path, reference README.md:72 --sh_lmax 1); lmax=2 runs
-the unfused XLA tensor-product path end to end.  This script measures the
-big-model forward at sh_lmax=1 (fused) vs sh_lmax=2 + use_second_order_repr
-(unfused XLA) on the same 3dpf batch and records the cost ratio into
-results/lmax2_cost.json, so the capability claim has a perf number attached.
+Three-way A/B on the same 3dpf batch:
+  1. lmax=1, fused FasterTensorProduct Pallas kernels (the published path,
+     reference README.md:72 --sh_lmax 1);
+  2. lmax=2 + use_second_order_repr, fused general-CG Pallas kernel
+     (ops/pallas_tp_fc.py);
+  3. lmax=2, unfused XLA tensor products (DDP_TPU_NO_FUSED_TP=1).
+Records forward times + ratios into results/lmax2_cost.json, so the
+second-order capability claim has a perf number AND the new kernel has a
+measured speedup over the XLA fallback it replaces.
 
 Run on an idle TPU: python scripts/profile_lmax2.py  (env: BATCH)
 """
@@ -73,14 +76,19 @@ def main():
     cfg2 = dataclasses.replace(
         BIG_SCORE_CONFIG, sh_lmax=2, use_second_order_repr=True,
     )
-    ms2, c2 = time_fwd(cfg2, g, "lmax=2 second-order (unfused XLA)")
+    ms2, c2 = time_fwd(cfg2, g, "lmax=2 second-order (fused general-CG Pallas)")
+    os.environ["DDP_TPU_NO_FUSED_TP"] = "1"
+    ms3, c3 = time_fwd(cfg2, g, "lmax=2 second-order (unfused XLA)")
+    del os.environ["DDP_TPU_NO_FUSED_TP"]
 
     out = {
         "batch": BATCH,
         "fwd_ms_lmax1_fused": round(ms1, 2),
-        "fwd_ms_lmax2_unfused": round(ms2, 2),
-        "lmax2_cost_ratio": round(ms2 / ms1, 2),
-        "compile_s": [round(c1, 1), round(c2, 1)],
+        "fwd_ms_lmax2_fused": round(ms2, 2),
+        "fwd_ms_lmax2_unfused": round(ms3, 2),
+        "lmax2_cost_ratio_fused_vs_lmax1": round(ms2 / ms1, 2),
+        "lmax2_kernel_speedup_vs_unfused": round(ms3 / ms2, 2),
+        "compile_s": [round(c1, 1), round(c2, 1), round(c3, 1)],
     }
     os.makedirs("results", exist_ok=True)
     with open("results/lmax2_cost.json", "w") as fh:

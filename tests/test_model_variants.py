@@ -225,3 +225,36 @@ def test_skip_intra_steps_split_scan_identity():
     )
     assert np.isfinite(np.asarray(g2.lig_pos)).all()
     assert not np.array_equal(np.asarray(g2.lig_pos), np.asarray(g0.lig_pos))
+
+
+def test_fused_model_wiring_interpret(monkeypatch):
+    """DDP_TPU_FUSED_INTERPRET routes the model's fused-kernel dispatches
+    through Pallas interpret mode on CPU: the full model-level wiring
+    (reshapes, irreps strings, multi-family batching) of BOTH kernel
+    families must reproduce the unfused forward within bf16-matmul
+    tolerance."""
+    for cfg in (
+        # lmax=1 fast path, multi-family batched
+        dataclasses.replace(
+            BASE, all_atoms=True, flexible_sidechains=True,
+            batch_conv_families=True,
+        ),
+        # second-order path through the general-CG kernel
+        dataclasses.replace(
+            BASE, all_atoms=True, flexible_sidechains=True,
+            sh_lmax=2, use_second_order_repr=True, batch_conv_families=True,
+        ),
+    ):
+        g = graphlib.stack([make_graph(seed=4), make_graph(seed=5)])
+        t = _times(2)
+        v = pipeline.init_random_variables(cfg, g)
+        model = get_model(cfg)
+        ref = jax.jit(model.apply)(v, g, t, _sn(cfg, t))
+
+        monkeypatch.setenv("DDP_TPU_FUSED_INTERPRET", "1")
+        got = jax.jit(model.apply)(v, g, t, _sn(cfg, t))
+        monkeypatch.delenv("DDP_TPU_FUSED_INTERPRET")
+
+        for a, b in zip(got, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
