@@ -26,6 +26,11 @@ the lmax=1 pair there is no hand-written backward kernel: the second-order
 family is an opt-in architecture, so training it pays the unfused backward
 while inference gets the fused forward.
 
+VMEM: the padded transposed weight block [rows_pad, H+1] bf16 is the largest
+buffer — 0.19 MB at ns=16/nv=4 up to 3.7 MB at ns=48/nv=10 (last ladder
+layer, H=3ns), comfortably inside the 16 MB budget even double-buffered in
+the multi-family variant.
+
 interpret=True runs on CPU for tests (tests/test_pallas_fc.py).
 """
 from __future__ import annotations
