@@ -17,9 +17,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_POSES_PER_SEC = 2.7  # estimated reference-on-A100 (BASELINE.md)
 
 
+def _wait_for_tunnel(max_wait_s: int = 900) -> None:
+    """The TPU is reached through a local relay; while it is down, backend
+    init blocks ~25 min then dies with an opaque UNAVAILABLE.  Fail fast
+    with a clear message instead (waiting up to max_wait_s for the relay —
+    it restarts on its own after infrastructure outages)."""
+    import socket
+
+    if os.environ.get("DDP_TPU_PLATFORM") == "cpu":
+        return
+    deadline = time.time() + max_wait_s
+    warned = False
+    while True:
+        try:
+            with socket.create_connection(("127.0.0.1", 8082), timeout=2):
+                return
+        except OSError:
+            pass
+        if time.time() > deadline:
+            print(
+                "bench: TPU tunnel relay (127.0.0.1:8082) is down; "
+                f"waited {max_wait_s}s. Not benchmarkable right now.",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        if not warned:
+            print("bench: TPU tunnel relay down, waiting...", file=sys.stderr)
+            warned = True
+        time.sleep(15)
+
+
 def main():
     from diffdock_pocket_tpu import runtime
 
+    _wait_for_tunnel()
     runtime.setup()
 
     import jax
