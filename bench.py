@@ -169,7 +169,33 @@ def main():
         jax.jit(one_fwd).lower(pipe.variables, g_b)
         pallas_fwd_flops = pallas_tp.stop_flop_trace()
 
-        flops_per_call = xla_flops + pallas_fwd_flops * steps
+        # with skip_intra the first k scan steps run the reduced model
+        # (fewer kernel FLOPs) — account the per-step mix, not full x steps
+        k_skip = min(pipe.sampler_cfg.skip_intra_steps or 0, steps)
+        pallas_total = pallas_fwd_flops * steps
+        if k_skip:
+            import dataclasses as _dc
+
+            red_model = pipeline.get_model(
+                _dc.replace(cfg, skip_heavy_intra=True))
+
+            def one_fwd_reduced(variables, g):
+                t = {k: _jnp.full((batch,), 0.5)
+                     for k in ("tr", "rot", "tor", "sc_tor", "t")}
+                _, s_rot, s_tor, s_sc = sig.t_to_sigma(
+                    t["tr"], t["rot"], t["tor"], t["sc_tor"])
+                sn = {"rot": so3_t.score_norm(s_rot),
+                      "tor": torus_t.score_norm(s_tor),
+                      "sc_tor": torus_t.score_norm(s_sc)}
+                return red_model.apply(variables, g, t, sn)
+
+            pallas_tp.start_flop_trace()
+            jax.jit(one_fwd_reduced).lower(pipe.variables, g_b)
+            pallas_reduced_flops = pallas_tp.stop_flop_trace()
+            pallas_total = (pallas_fwd_flops * (steps - k_skip)
+                            + pallas_reduced_flops * k_skip)
+
+        flops_per_call = xla_flops + pallas_total
         n_chunks = math.ceil(samples / batch)
         achieved = flops_per_call * n_chunks / wall  # FLOP/s end to end
         kind = jax.devices()[0].device_kind.lower()
@@ -189,7 +215,7 @@ def main():
         })
         print(f"bench: {achieved/1e12:.2f} TFLOP/s achieved end-to-end "
               f"({100*achieved/peak:.2f}% of bf16 peak on {kind}; "
-              f"pallas {pallas_fwd_flops*steps/1e12:.2f} TF/chunk + "
+              f"pallas {pallas_total/1e12:.2f} TF/chunk + "
               f"xla {xla_flops/1e12:.2f} TF/chunk)",
               file=sys.stderr)
     except Exception as e:  # cost analysis is best-effort

@@ -215,6 +215,13 @@ class FilteringDataset:
                 )
         self.dataset = dataset
         self.poses = poses
+        # number of distinct fixed_step values a trajectory sweep may use
+        # (steps index trajectory[n_steps - step - 1], so valid steps are
+        # 0..len(trajectory)-1); None without trajectories
+        self.trajectory_steps = (
+            len(next(iter(poses.values())).trajectory)
+            if trajectory_sampling else None
+        )
         self.rmsd_cutoff = rmsd_classification_cutoff
         self.sc_cutoff = sc_rmsd_classification_cutoff
         self.balance = balance
@@ -295,6 +302,13 @@ class FilteringDataset:
             return datas, np.asarray(ys, np.float32), aff, t
         if self.trajectory_sampling:
             n_steps = len(pose.trajectory)
+            if self.fixed_step is not None and not (
+                0 <= self.fixed_step < n_steps
+            ):
+                raise ValueError(
+                    f"fixed_step={self.fixed_step} out of range for a "
+                    f"{n_steps}-step trajectory cache (valid: 0..{n_steps - 1})"
+                )
             step = (
                 self.fixed_step
                 if self.fixed_step is not None

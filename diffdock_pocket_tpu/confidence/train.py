@@ -252,6 +252,12 @@ class ConfidenceTrainer:
         rng = np.random.default_rng(self.seed)
         key = jax.random.PRNGKey(self.seed)
         params = batch_stats = opt_state = None
+        # fresh metrics history per fit(): a relaunch into the same run_dir
+        # would otherwise append to the previous run's epochs and corrupt
+        # any report that reads first/last/count from this file
+        hist_path = os.path.join(self.run_dir, "metrics.jsonl")
+        if os.path.exists(hist_path):
+            os.remove(hist_path)
         for epoch in range(n_epochs):
             t0 = time.time()
             losses, accs, aff_losses = [], [], []
@@ -351,13 +357,30 @@ class ConfidenceTrainer:
         return metrics, scores, labels
 
     def test(self, data, params, batch_stats, out_dir: str,
-             multiplicity: int = 1, n_steps: int = 21):
+             multiplicity: int = 1, n_steps: int | None = None):
         """Reference test() parity (filtering_train.py:384-419): under
         trajectory sampling, evaluate every reverse-diffusion step index
         separately (fixed_step sweep) and persist per-step + combined
-        metrics as npz; without trajectories, a single eval pass."""
+        metrics as npz; without trajectories, a single eval pass.
+
+        n_steps defaults to the pose cache's actual trajectory length
+        (valid fixed_step values are 0..len(trajectory)-1; a fixed 21 as in
+        the reference would silently wrap to trajectory[-1] with t > 1 on
+        caches generated with inference_steps != 21)."""
         os.makedirs(out_dir, exist_ok=True)
-        steps = range(n_steps) if getattr(data, "trajectory_sampling", False) else [None]
+        if getattr(data, "trajectory_sampling", False):
+            avail = getattr(data, "trajectory_steps", None)
+            if n_steps is None:
+                n_steps = avail
+            elif avail is not None and n_steps > avail:
+                logger.warning(
+                    "test: n_steps=%d > trajectory length %d; clamping",
+                    n_steps, avail,
+                )
+                n_steps = avail
+            steps = range(n_steps)
+        else:
+            steps = [None]
         all_losses, all_accs, all_scores, all_labels = [], [], [], []
         for step in steps:
             if step is not None:

@@ -163,14 +163,17 @@ class DockingDataset:
             chains = next(iter(self.esm_embeddings.values()))
             if chains:
                 esm_dim = int(chains[0].shape[-1])
-            h = hashlib.sha1()
-            for cname in sorted(self.esm_embeddings):
-                h.update(cname.encode())
-                for arr in self.esm_embeddings[cname]:
-                    a = np.ascontiguousarray(np.asarray(arr, dtype=np.float32))
-                    h.update(str(a.shape).encode())
-                    h.update(a.tobytes())
-            esm_digest = h.hexdigest()[:12]
+            if cache_dir is not None:
+                # content digest only when a cache key needs it: hashing
+                # every embedding array is O(dataset size) work
+                h = hashlib.sha1()
+                for cname in sorted(self.esm_embeddings):
+                    h.update(cname.encode())
+                    for arr in self.esm_embeddings[cname]:
+                        a = np.ascontiguousarray(np.asarray(arr, dtype=np.float32))
+                        h.update(str(a.shape).encode())
+                        h.update(a.tobytes())
+                esm_digest = h.hexdigest()[:12]
         self.esm_dim = esm_dim
         if cache_dir is not None:
             tag = hashlib.sha1(

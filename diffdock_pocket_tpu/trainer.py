@@ -331,18 +331,22 @@ class Trainer:
         }
         for k, v in acc.items():
             out[k] = float(np.mean(v))
-        if sc_rmsds:
-            sc = np.asarray(sc_rmsds)
+        # sc_rmsds is aligned 1:1 with rmsds (NaN for complexes without
+        # flexible side chains) so the combined metric pairs correctly
+        sc = np.asarray(sc_rmsds)
+        valid = ~np.isnan(sc) if len(sc) else np.zeros(0, bool)
+        if valid.any():
+            scv = sc[valid]
             out.update(
                 {
                     # reference sc-RMSD bands 0.25/0.5/1 (training.py:440-442)
-                    "sc_rmsds_lt025": float(np.mean(sc < 0.25)),
-                    "sc_rmsds_lt05": float(np.mean(sc < 0.5)),
-                    "sc_rmsds_lt1": float(np.mean(sc < 1.0)),
-                    "mean_sc_rmsd": float(sc.mean()),
+                    "sc_rmsds_lt025": float(np.mean(scv < 0.25)),
+                    "sc_rmsds_lt05": float(np.mean(scv < 0.5)),
+                    "sc_rmsds_lt1": float(np.mean(scv < 1.0)),
+                    "mean_sc_rmsd": float(scv.mean()),
                     # the confidence-label proxy (reference training.py:425)
                     "rmsds_lt2_and_sc_rmsds_lt1": float(
-                        np.mean((rmsds[: len(sc)] < 2.0) & (sc < 1.0))
+                        np.mean((rmsds[valid] < 2.0) & (scv < 1.0))
                     ),
                     # kept for backward compat with round-2 logs/checkpoints
                     "mean_steric_clashes": out.get("rec_lig_steric_clashes", 0.0),
@@ -371,6 +375,9 @@ class Trainer:
             acc["rec_lig_steric_clashes_delta"].append(pred - base)
 
         if not (self.model_cfg.flexible_sidechains and raw["sc_bond_index"].size):
+            # keep sc_rmsds aligned 1:1 with rmsds (complexes without
+            # flexible side chains contribute NaN, masked out by the caller)
+            sc_rmsds.append(float("nan"))
             return
         sc_mask = raw["sc_rotate_mask"].any(axis=0)  # flexible heavy atoms
         flex_idx = np.where(sc_mask)[0]

@@ -1,4 +1,11 @@
 #!/bin/bash
+# SUPERSEDED by scripts/r3_resume_when_tunnel.sh (which runs the same stages
+# plus the affinity rerun / A/B / lmax2 profile, gated on the relay being
+# up).  Kept for the record of the original queue.  NOTE the wait gate
+# below only serializes against a job whose launcher wrote
+# /tmp/affinity_journey.pid (`cmd & echo $! > /tmp/affinity_journey.pid`);
+# with no PID file it falls through immediately.
+#
 # Round-3 chip-serialized work queue (single-client TPU rule): waits for the
 # affinity journey to release the chip, then runs the compile-lottery
 # investigation (judge r2 ask #2).

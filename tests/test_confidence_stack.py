@@ -249,6 +249,24 @@ def test_split_confidence_output_unstandardizes():
     assert np.allclose(c, [0.3, -0.1]) and np.allclose(a, [8.0, 5.0])
 
 
+def test_metrics_history_fresh_per_fit(pose_caches, tmp_path):
+    """Relaunching fit() into the same run_dir must not append to the
+    previous run's metrics.jsonl (reports read first/last/count from it)."""
+    import json
+
+    ds, paths = pose_caches
+    merged = combine_pose_caches(paths)
+    fd = FilteringDataset(ds, merged)
+    cfg = dataclasses.replace(TINY, confidence_mode=True)
+    run_dir = str(tmp_path / "conf_refit")
+    for _ in range(2):
+        trainer = ConfidenceTrainer(cfg, fd, fd, run_dir=run_dir, batch_size=2)
+        trainer.fit(n_epochs=1)
+    with open(os.path.join(run_dir, "metrics.jsonl")) as fh:
+        lines = [json.loads(l) for l in fh]
+    assert len(lines) == 1 and lines[0]["epoch"] == 0
+
+
 def test_trajectory_sampling(tmp_path):
     """Trajectory-step confidence training: pose cache stores trajectories,
     get() serves an intermediate step with t = step/(steps-1) while the
@@ -295,11 +313,27 @@ def test_trajectory_sampling(tmp_path):
     assert any(np.allclose(data.raw["lig_pos"], final[s], atol=1e-5)
                for s in range(final.shape[0]))
 
+    # the sweep length comes from the cache, and out-of-range fixed_step
+    # raises instead of silently wrapping to trajectory[-1] with t > 1
+    assert fd.trajectory_steps == n_steps
+    fd_bad = FilteringDataset(ds, merged, trajectory_sampling=True,
+                              fixed_step=n_steps)
+    with pytest.raises(ValueError, match="out of range"):
+        fd_bad.get(0, rng)
+
     cfg = dataclasses.replace(TINY, confidence_mode=True)
     trainer = ConfidenceTrainer(cfg, fd, fd0, run_dir=str(tmp_path / "conf_traj"),
                                 batch_size=2)
-    params, _ = trainer.fit(n_epochs=1)
+    params, batch_stats = trainer.fit(n_epochs=1)
     assert params is not None
+
+    # .test() sweeps exactly the cache's trajectory steps (n_steps files)
+    out_dir = str(tmp_path / "traj_test_out")
+    trainer.test(fd, params, batch_stats, out_dir=out_dir)
+    import glob
+
+    step_files = sorted(glob.glob(os.path.join(out_dir, "val_eval_step*.npz")))
+    assert len(step_files) == n_steps
 
 
 def test_parallel_confidence_training(tmp_path):

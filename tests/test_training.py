@@ -212,3 +212,36 @@ def test_clash_and_sc_metric_suite():
     # compare-true-protein: pred is ~0.5 A different from atom_true_pos
     assert 0.3 < acc["sc_rmsds_from_holo"][0] < 1.5
     assert "sc_rmsds_from_holo_ratio" in acc
+
+
+def test_sc_rmsds_alignment_without_flexible_sidechains():
+    """A complex with no flexible side chains contributes NaN to sc_rmsds so
+    the list stays aligned 1:1 with rmsds (the combined
+    rmsds_lt2_and_sc_rmsds_lt1 metric pairs per-complex values)."""
+    from collections import defaultdict
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from synthetic import make_raw_complex
+    from diffdock_pocket_tpu.data.mol import Bond, Molecule
+    from diffdock_pocket_tpu.trainer import Trainer
+
+    raw = dict(make_raw_complex(seed=1))
+    raw["sc_bond_index"] = np.zeros((0, 2), np.int32)
+    nl = len(raw["lig_pos"])
+    mol = Molecule(
+        ["C"] * nl, raw["lig_pos"],
+        [Bond(a, b, 1) for a, b in raw["lig_bond_index"][::2]],
+    )
+    data = SimpleNamespace(raw=raw, ligand=mol, name="rigid")
+    result = SimpleNamespace(
+        lig_pos=raw["lig_orig_pos"][None] + 0.1,
+        atom_pos=raw["atom_orig_pos"][None] + 0.1,
+    )
+    self = SimpleNamespace(
+        model_cfg=SimpleNamespace(all_atoms=True, flexible_sidechains=True)
+    )
+    acc, sc_rmsds = defaultdict(list), []
+    Trainer._clash_and_sc_metrics(self, data, result, acc, sc_rmsds)
+    assert len(sc_rmsds) == 1 and np.isnan(sc_rmsds[0])
