@@ -62,6 +62,13 @@ class DataConfig:
     # drop complexes whose reduced pocket has no receptor atoms near the
     # ligand (reference skip_no_pocket_atoms, pdbbind.py:181-182)
     skip_no_pocket_atoms: bool = False
+    # tetrahedral chirality tags from the 3D ligand coordinates
+    # (Molecule.chiral_tags; the reference's featurizer gets them from
+    # RDKit AssignStereochemistryFrom3D).  Default True for new runs;
+    # model yml reconstruction defaults it False for run dirs predating
+    # the field so old checkpoints keep their training-time features
+    # (utils/checkpoint.py::load_data_config).
+    lig_chirality: bool = True
 
 
 @dataclass
@@ -136,7 +143,7 @@ def build_complex(
                 crystal, popsize=cfg.popsize, maxiter=cfg.maxiter, rng=rng
             )
             extra_conformers.append(alt.coords)
-    lig_feat = lig.featurize()
+    lig_feat = lig.featurize(chirality=cfg.lig_chirality)
     bond_index, bond_attr = lig.bond_arrays()
     tor_index, tor_mask = lig.rotatable_bonds()
 

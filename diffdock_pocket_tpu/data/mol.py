@@ -9,8 +9,11 @@ Feature semantics:
 - atomic number, degree (incl. H), formal charge, numH, ring membership
   counts and ring-size flags, aromaticity: computed from the explicit
   connection table (+ implicit-H estimation from standard valences).
-- chirality: CHI_UNSPECIFIED unless SDF parity is present (documented
-  simplification — chirality is a categorical embedding input only).
+- chirality: tetrahedral CW/CCW tags computed from the 3D coordinates
+  (signed-volume parity, gated on WL-symmetry-distinct substituents —
+  ``chiral_tags``; the reference uses RDKit AssignStereochemistryFrom3D).
+  Opt-in per DataConfig.lig_chirality: checkpoints trained before the
+  feature keep the historical all-CHI_UNSPECIFIED column via their yml.
 - hybridization: heuristic from bond orders (triple/cumulated -> SP,
   double/aromatic -> SP2, else SP3); 'misc' for non-organic centers.
 - implicit valence: estimated as max(0, allowed_valence - bond order sum).
@@ -169,14 +172,97 @@ class Molecule:
         return out
 
     # ------------------------------------------------------------------
-    def featurize(self) -> np.ndarray:
+    def symmetry_classes(self, rounds: int = 8) -> list[int]:
+        """Atom symmetry classes by Weisfeiler-Lehman color refinement over
+        the heavy-atom graph (element, heavy degree, charge, numH seed;
+        neighbor multisets with bond orders per round).  Two atoms share a
+        class only if their substituent environments are indistinguishable
+        — the invariant-rank role RDKit's canonical ranks play in
+        stereocenter detection."""
+        numh, _ = self._h_counts()
+        nbr_b = [[] for _ in range(self.n_atoms)]
+        for b in self.bonds:
+            nbr_b[b.a].append((b.type, b.b))
+            nbr_b[b.b].append((b.type, b.a))
+        labels = [
+            (s, len(nbr_b[i]), self.charges[i], numh[i])
+            for i, s in enumerate(self.symbols)
+        ]
+        intern: dict = {}
+        labels = [intern.setdefault(l, len(intern)) for l in labels]
+        for _ in range(rounds):
+            intern = {}
+            nxt = [
+                intern.setdefault(
+                    (labels[i], tuple(sorted((t, labels[j]) for t, j in nbr_b[i]))),
+                    len(intern),
+                )
+                for i in range(self.n_atoms)
+            ]
+            if len(set(nxt)) == len(set(labels)):
+                labels = nxt
+                break
+            labels = nxt
+        return labels
+
+    def chiral_tags(self) -> list[str]:
+        """Tetrahedral chirality tags from 3D coordinates (the reference
+        gets these from RDKit AssignStereochemistryFrom3D;
+        process_mols.py:117 chirality feature).
+
+        An atom is tagged iff it is SP3 with 4 substituents (>= 3 heavy +
+        at most one implicit H) whose WL symmetry classes are pairwise
+        distinct; the tag is the signed-volume parity of the heavy
+        neighbors in bond-insertion order (fixed convention: CW when the
+        determinant is negative).  Mirror images get opposite tags and
+        permuting equivalent substituents cannot flip a tag spuriously —
+        matching RDKit's tags up to a fixed global orientation convention
+        (documented deviation: WL classes approximate CIP ranks, and the
+        CW/CCW sign convention is internal)."""
+        n = self.n_atoms
+        tags = ["CHI_UNSPECIFIED"] * n
+        if n < 4:
+            return tags
+        classes = self.symmetry_classes()
+        numh, impl = self._h_counts()
+        hyb = self.hybridizations()
+        nbr = self.neighbors()  # bond-insertion order
+        for i in range(n):
+            heavy = nbr[i]
+            if hyb[i] != "SP3" or len(heavy) + impl[i] != 4 or impl[i] > 1:
+                continue
+            sub = [classes[j] for j in heavy]
+            if len(set(sub)) != len(sub):
+                continue
+            P = self.coords[heavy].astype(np.float64)
+            c = self.coords[i].astype(np.float64)
+            if len(heavy) == 4:
+                d = float(np.linalg.det(np.stack([P[1] - P[0], P[2] - P[0],
+                                                  P[3] - P[0]])))
+            else:  # 3 heavy + 1 implicit H behind the heavy-neighbor plane
+                d = float(np.linalg.det(np.stack([P[0] - c, P[1] - c,
+                                                  P[2] - c])))
+            if abs(d) < 1e-3:  # degenerate/planar geometry: leave untagged
+                continue
+            tags[i] = "CHI_TETRAHEDRAL_CW" if d < 0 else "CHI_TETRAHEDRAL_CCW"
+        return tags
+
+    # ------------------------------------------------------------------
+    def featurize(self, chirality: bool = False) -> np.ndarray:
         """Per-atom categorical features [N, 16] (reference
-        lig_atom_featurizer order, process_mols.py:115-140)."""
+        lig_atom_featurizer order, process_mols.py:115-140).
+
+        chirality=True computes tetrahedral CW/CCW tags from the 3D
+        coordinates (chiral_tags); False keeps the historical
+        all-CHI_UNSPECIFIED column (checkpoints trained before the feature
+        reconstruct with False via their model_parameters.yml)."""
         numh, impl = self._h_counts()
         rings, ring_counts = self.ring_info()
         aro = self.aromatic_flags()
         hyb = self.hybridizations()
         nbr = self.neighbors()
+        chi = (self.chiral_tags() if chirality
+               else ["CHI_UNSPECIFIED"] * self.n_atoms)
         in_ring_of = {
             size: [False] * self.n_atoms for size in (3, 4, 5, 6, 7, 8)
         }
@@ -191,7 +277,7 @@ class Molecule:
             feats.append(
                 [
                     safe_index(AF["possible_atomic_num_list"], chem.atomic_number(s)),
-                    0,  # chirality: CHI_UNSPECIFIED (see module docstring)
+                    safe_index(AF["possible_chirality_list"], chi[i]),
                     safe_index(AF["possible_degree_list"], total_degree),
                     safe_index(AF["possible_formal_charge_list"], self.charges[i]),
                     safe_index(AF["possible_implicit_valence_list"], impl[i]),

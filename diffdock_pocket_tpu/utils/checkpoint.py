@@ -51,6 +51,9 @@ def load_data_config(run_dir: str):
     dc = d.get("data_config")
     if dc is None:
         return None
+    # fields added after a run was trained must reconstruct with the
+    # behavior that run was trained with, not the fresh-run default
+    dc.setdefault("lig_chirality", False)
     names = {f.name for f in dataclasses.fields(DataConfig)}
     return DataConfig(**{k: v for k, v in dc.items() if k in names})
 

@@ -141,6 +141,9 @@ def main():
     score_cfg = ckpt.load_yaml_config(args.original_model_dir)
     score_vars = ckpt.load_checkpoint(os.path.join(args.original_model_dir, args.ckpt))
 
+    # featurization options that change feature VALUES (not graph shape)
+    # must match what the frozen score model was trained with
+    score_dc = ckpt.load_data_config(args.original_model_dir)
     data_cfg = DataConfig(
         receptor_radius=args.receptor_radius,
         c_alpha_max_neighbors=args.c_alpha_max_neighbors,
@@ -148,6 +151,7 @@ def main():
         pocket_reduction=args.pocket_reduction, pocket_buffer=args.pocket_buffer,
         flexible_sidechains=score_cfg.flexible_sidechains,
         keep_local_structures=False,
+        lig_chirality=score_dc.lig_chirality if score_dc else False,
     )
 
     if args.protein_ligand_csv:

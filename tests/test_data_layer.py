@@ -237,3 +237,77 @@ def test_compare_true_protein_stores_holo_positions(tmp_path):
     )
     assert np.median(d_rigid) < 1e-3
     assert (d_rigid < 1e-3).mean() > 0.8
+
+
+def test_chiral_tags_from_3d():
+    """Tetrahedral chirality from 3D coordinates (reference: RDKit
+    AssignStereochemistryFrom3D feeding process_mols.py:117): distinct
+    substituents get a CW/CCW tag, mirror images flip it, duplicate
+    substituents (WL-equivalent) stay UNSPECIFIED."""
+    import numpy as np
+
+    from diffdock_pocket_tpu.data.mol import Bond, Molecule
+
+    tet = np.asarray([
+        [0.0, 0.0, 0.0],        # center C
+        [1.0, 1.0, 1.0],        # F
+        [1.0, -1.0, -1.0],      # Cl
+        [-1.0, 1.0, -1.0],      # Br
+        [-1.0, -1.0, 1.0],      # N
+    ], np.float32)
+    bonds = [Bond(0, i, 1) for i in range(1, 5)]
+
+    m = Molecule(["C", "F", "Cl", "Br", "N"], tet, bonds)
+    tags = m.chiral_tags()
+    assert tags[0] in ("CHI_TETRAHEDRAL_CW", "CHI_TETRAHEDRAL_CCW")
+    assert all(t == "CHI_UNSPECIFIED" for t in tags[1:])
+
+    mirror = Molecule(["C", "F", "Cl", "Br", "N"], tet * [-1, 1, 1], bonds)
+    assert mirror.chiral_tags()[0] != tags[0]
+    assert mirror.chiral_tags()[0] != "CHI_UNSPECIFIED"
+
+    # two WL-equivalent substituents -> not a stereocenter
+    dup = Molecule(["C", "F", "Cl", "Cl", "N"], tet, bonds)
+    assert dup.chiral_tags()[0] == "CHI_UNSPECIFIED"
+
+    # 3 heavy neighbors + 1 implicit H is still a stereocenter
+    m3 = Molecule(["C", "F", "Cl", "Br"], tet[:4], bonds[:3])
+    t3 = m3.chiral_tags()
+    assert t3[0] in ("CHI_TETRAHEDRAL_CW", "CHI_TETRAHEDRAL_CCW")
+    m3m = Molecule(["C", "F", "Cl", "Br"], tet[:4] * [-1, 1, 1], bonds[:3])
+    assert m3m.chiral_tags()[0] != t3[0]
+
+    # featurize: column 1 is the chirality category (AF order); the opt-out
+    # path keeps the historical all-UNSPECIFIED column
+    f_on = m.featurize(chirality=True)
+    f_off = m.featurize(chirality=False)
+    assert f_on[0, 1] in (1, 2) and f_off[0, 1] == 0
+    assert np.array_equal(f_on[:, [0] + list(range(2, 16))],
+                          f_off[:, [0] + list(range(2, 16))])
+
+
+def test_lig_chirality_yml_backcompat(tmp_path):
+    """Run dirs whose yml predates lig_chirality reconstruct with the
+    feature OFF (their training-time behavior), while fresh DataConfig
+    defaults it on."""
+    from diffdock_pocket_tpu.data.featurize import DataConfig
+    from diffdock_pocket_tpu.models.config import ModelConfig
+    from diffdock_pocket_tpu.utils import checkpoint as ckpt
+
+    assert DataConfig().lig_chirality is True
+
+    old_dc = {k: v for k, v in __import__("dataclasses").asdict(
+        DataConfig()).items() if k != "lig_chirality"}
+    import yaml
+
+    cfg = ModelConfig(ns=4, nv=2)
+    d = cfg.to_dict()
+    d["data_config"] = old_dc
+    with open(tmp_path / "model_parameters.yml", "w") as fh:
+        yaml.safe_dump(d, fh)
+    dc = ckpt.load_data_config(str(tmp_path))
+    assert dc.lig_chirality is False
+
+    # and a NEW run dir round-trips True
+    ckpt.save_yaml_config(str(tmp_path), cfg, data_cfg=DataConfig())
+    assert ckpt.load_data_config(str(tmp_path)).lig_chirality is True

@@ -52,6 +52,10 @@ def parse_train_args(argv=None):
     p.add_argument("--num_conformers", type=int, default=1)
     p.add_argument("--max_lig_size", type=int, default=None)
     p.add_argument("--remove_hs", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--lig_chirality", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="tetrahedral chirality tags from 3D ligand coords "
+                        "(reference: RDKit AssignStereochemistryFrom3D)")
     p.add_argument("--multiplicity", type=int, default=1)
     p.add_argument("--pocket_reduction", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--pocket_buffer", type=float, default=10.0)
@@ -242,6 +246,7 @@ def build_configs(args):
         use_original_conformer_fallback=args.use_original_conformer_fallback,
         use_original_conformer=args.use_original_conformer,
         max_lig_size=args.max_lig_size,
+        lig_chirality=args.lig_chirality,
     )
     noise_cfg = NoiseConfig(
         alpha=args.sampling_alpha, beta=args.sampling_beta,
