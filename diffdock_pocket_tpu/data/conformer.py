@@ -6,13 +6,20 @@ Parity targets (reference):
   differential evolution vs the crystal)   datasets/conformer_matching.py:16-82
 
 This environment has no RDKit, so conformer generation is implemented as a
-documented two-tier strategy:
+documented three-tier strategy:
 1. if RDKit happens to be importable, use ETKDG (exact reference behaviour);
-2. otherwise ``randomize_torsions`` produces an independent conformer by
-   uniformly re-drawing every rotatable-bond torsion of the input conformer —
-   local structure (bond lengths/angles) is preserved, global torsional state
-   is decorrelated.  The subsequent differential-evolution matching then
-   recovers torsions against the crystal exactly like the reference.
+2. otherwise ``dg_embed_conformer``: a first-party distance-geometry
+   embedding (chemistry bounds matrix -> triangle smoothing -> NERF
+   tree-build with random free dihedrals -> bound-violation refinement
+   with a signed-volume chirality hinge) — like ETKDG, local structure is
+   REBUILT from idealized chemistry, so nothing of the crystal conformer's
+   geometry leaks into the generated one;
+3. if the DG embedding fails its local-geometry quality gate,
+   ``randomize_torsions`` re-draws every rotatable-bond torsion of the
+   input conformer (local structure preserved from the input, global
+   torsional state decorrelated).
+The subsequent differential-evolution matching then recovers torsions
+against the crystal exactly like the reference.
 
 The matching objective is RMSD after optimal rigid alignment (Kabsch), which
 is what AllChem.AlignMol minimizes.
@@ -69,6 +76,314 @@ def randomize_torsions(mol: Molecule, rng: np.random.Generator) -> Molecule:
     )
 
 
+def _distance_bounds(mol: Molecule):
+    """Distance-geometry bounds matrices (lower, upper) [N, N].
+
+    1-2 from covalent radii (scaled by bond order), 1-3 from the law of
+    cosines at the center's ideal hybridization angle, 1-4 between the cis
+    and trans extremes, everything else between vdW contact and the
+    through-bond path length; smoothed to triangle consistency
+    (Floyd-Warshall on U; L lifted via L_ij >= L_ik - U_kj)."""
+    from . import chem
+
+    n = mol.n_atoms
+    hyb = mol.hybridizations()
+    blen = {}
+    order_shrink = {1: 0.0, 2: 0.12, 3: 0.22, 4: 0.06}
+    for b in mol.bonds:
+        d = (chem.covalent_radius(mol.symbols[b.a])
+             + chem.covalent_radius(mol.symbols[b.b])
+             - order_shrink.get(b.type, 0.0))
+        blen[(b.a, b.b)] = blen[(b.b, b.a)] = d
+
+    big = 1e3
+    U = np.full((n, n), big)
+    L = np.zeros((n, n))
+    np.fill_diagonal(U, 0.0)
+    for (i, j), d in blen.items():
+        L[i, j] = d - 0.02
+        U[i, j] = d + 0.02
+
+    ang = {"SP": np.pi, "SP2": 2 * np.pi / 3, "SP3": np.deg2rad(109.47)}
+    nbr = mol.neighbors()
+    for j in range(n):
+        theta = ang.get(hyb[j], np.deg2rad(109.47))
+        for ai in range(len(nbr[j])):
+            for bi in range(ai + 1, len(nbr[j])):
+                i, k = nbr[j][ai], nbr[j][bi]
+                d1, d2 = blen[(i, j)], blen[(j, k)]
+                d13 = np.sqrt(d1 * d1 + d2 * d2 - 2 * d1 * d2 * np.cos(theta))
+                # +-0.15: real angles deviate from the ideal-hybridization
+                # ones (rings, conjugation); validated against the 3dpf
+                # crystal staying inside the smoothed bounds
+                L[i, k] = L[k, i] = max(L[i, k], d13 - 0.15)
+                U[i, k] = U[k, i] = min(U[i, k], d13 + 0.15)
+
+    # 1-4: cis (eclipsed) to trans extremes through the central bond
+    for b in mol.bonds:
+        j, k = b.a, b.b
+        for i in nbr[j]:
+            for l in nbr[k]:
+                if len({i, j, k, l}) < 4:
+                    continue
+                dij, djk, dkl = blen[(i, j)], blen[(j, k)], blen[(k, l)]
+                th1 = ang.get(hyb[j], np.deg2rad(109.47))
+                th2 = ang.get(hyb[k], np.deg2rad(109.47))
+                # planar cis / trans distances for the i-j-k-l chain:
+                # j at origin, k on +x; j->i makes angle th1 with j->k
+                # (x-component cos(th1) < 0 for tetrahedral), k->l makes
+                # angle th2 with k->j (x-component -cos(th2) > 0); phi is
+                # the i-j-k-l dihedral (0 = cis, pi = trans)
+                def chain_d(phi):
+                    pj = np.zeros(3)
+                    pk = np.asarray([djk, 0.0, 0.0])
+                    pi = pj + dij * np.asarray(
+                        [np.cos(th1), np.sin(th1), 0.0])
+                    pl = pk + dkl * np.asarray(
+                        [-np.cos(th2),
+                         np.sin(th2) * np.cos(phi),
+                         np.sin(th2) * np.sin(phi)])
+                    return float(np.linalg.norm(pi - pl))
+                d_cis, d_trans = chain_d(0.0), chain_d(np.pi)
+                lo, hi = min(d_cis, d_trans), max(d_cis, d_trans)
+                L[i, l] = L[l, i] = max(L[i, l], lo - 0.35)
+                U[i, l] = U[l, i] = min(U[i, l], hi + 0.35)
+
+    # default lower bound for unconstrained pairs: vdW contact, softened by
+    # graph proximity — pairs in the same ring system or 4 bonds apart sit
+    # well below 0.8x the vdW sum in real molecules (fused rings,
+    # gauche 1-5), and an unsatisfiable lower bound frustrates the whole
+    # refinement (validated: the 3dpf crystal sits inside these bounds)
+    import collections as _c
+
+    hops = np.full((n, n), n + 10, np.int32)
+    for s in range(n):
+        hops[s, s] = 0
+        dq = _c.deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in nbr[u]:
+                if hops[s, v] > hops[s, u] + 1:
+                    hops[s, v] = hops[s, u] + 1
+                    dq.append(v)
+    rings_sets = [set(r) for r in mol.ring_info()[0]]
+    ring_id = [set() for _ in range(n)]
+    for ri, r in enumerate(rings_sets):
+        for i in r:
+            ring_id[i].add(ri)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if L[i, j] == 0.0:
+                vd = (chem.vdw_radius(mol.symbols[i])
+                      + chem.vdw_radius(mol.symbols[j]))
+                if ring_id[i] & ring_id[j]:
+                    lo = 1.8
+                elif hops[i, j] == 4:
+                    lo = min(0.65 * vd, 2.4)
+                else:
+                    lo = 0.8 * vd
+                L[i, j] = L[j, i] = lo
+
+    # triangle smoothing
+    for k in range(n):
+        U = np.minimum(U, U[:, k : k + 1] + U[k : k + 1, :])
+    for k in range(n):
+        L = np.maximum(L, L[:, k : k + 1] - U[k : k + 1, :])
+    L = np.minimum(L, U)  # keep consistent where vdW exceeded path bounds
+    return L, U
+
+
+def _refine(pos, L, U, w_strong, iters=300, lr=0.05, chiral=()):
+    """Gradient descent on squared bound violations (w_strong marks pairs
+    with tight chemistry bounds: bonds/angles get 10x weight).
+
+    ``chiral``: per tetrahedral stereocenter (pts [4 atom indices], s = +-1
+    desired sign of det[p1-p0, p2-p0, p3-p0]) — a hinge max(0, m - s*V)
+    pushes the signed volume to the wanted parity (ring-locked centers
+    cannot be fixed by re-rolling dihedrals or global mirroring)."""
+    n = len(pos)
+    iu, ju = np.triu_indices(n, 1)
+    w = np.where(w_strong[iu, ju], 10.0, 1.0)
+    lo, hi = L[iu, ju], U[iu, ju]
+    w_chiral, margin = 3.0, 0.5
+    for _ in range(iters):
+        diff = pos[iu] - pos[ju]
+        d = np.linalg.norm(diff, axis=1) + 1e-9
+        over = np.maximum(0.0, d - hi)
+        under = np.maximum(0.0, lo - d)
+        coef = w * (over - under) / d  # d(loss)/d(d) / d
+        g = np.zeros_like(pos)
+        gi = coef[:, None] * diff
+        np.add.at(g, iu, gi)
+        np.add.at(g, ju, -gi)
+        for pts, s in chiral:
+            p0, p1, p2, p3 = pos[pts[0]], pos[pts[1]], pos[pts[2]], pos[pts[3]]
+            a, b, c = p1 - p0, p2 - p0, p3 - p0
+            V = float(np.dot(a, np.cross(b, c)))
+            if s * V >= margin:
+                continue
+            dV1 = np.cross(b, c)
+            dV2 = np.cross(c, a)
+            dV3 = np.cross(a, b)
+            g[pts[1]] -= w_chiral * s * dV1
+            g[pts[2]] -= w_chiral * s * dV2
+            g[pts[3]] -= w_chiral * s * dV3
+            g[pts[0]] += w_chiral * s * (dV1 + dV2 + dV3)
+        # clip per-atom displacement: large early violations otherwise
+        # produce divergent steps (the loss is quadratic, the step is not
+        # line-searched)
+        step = lr * g
+        norm = np.linalg.norm(step, axis=1, keepdims=True)
+        step = step * np.minimum(1.0, 0.15 / (norm + 1e-12))
+        pos = pos - step
+    return pos
+
+
+def _tree_build(mol: Molecule, rng: np.random.Generator) -> np.ndarray:
+    """Initial coordinates by NERF chain extension over a DFS spanning tree:
+    ideal bond lengths (covalent radii x bond order), ideal angles at the
+    parent's hybridization, dihedral 0/pi inside rings (planar start; DFS
+    walks a ring as one arm so the closure lands near its bond bound) and
+    random for free bonds.  Ring closures + sibling geometry are left to
+    the bound refinement."""
+    import collections
+
+    from . import chem
+
+    n = mol.n_atoms
+    hyb = mol.hybridizations()
+    ang = {"SP": np.pi, "SP2": 2 * np.pi / 3, "SP3": np.deg2rad(109.47)}
+    shrink = {1: 0.0, 2: 0.12, 3: 0.22, 4: 0.06}
+    blen = {}
+    for b in mol.bonds:
+        d = (chem.covalent_radius(mol.symbols[b.a])
+             + chem.covalent_radius(mol.symbols[b.b])
+             - shrink.get(b.type, 0.0))
+        blen[(b.a, b.b)] = blen[(b.b, b.a)] = d
+    rings, _ = mol.ring_info()
+    rings = [set(r) for r in rings]
+    ring_edges = {
+        e for b in mol.bonds if any(b.a in r and b.b in r for r in rings)
+        for e in ((b.a, b.b), (b.b, b.a))
+    }
+    nbr = mol.neighbors()
+
+    parent = {0: None}
+    order, stack = [], [0]
+    while stack:  # DFS: a ring is walked as one arm
+        u = stack.pop()
+        order.append(u)
+        for v in reversed(nbr[u]):
+            if v not in parent:
+                parent[v] = u
+                stack.append(v)
+
+    def normalize(v):
+        return v / (np.linalg.norm(v) + 1e-12)
+
+    pos = np.zeros((n, 3))
+    child_count = collections.Counter()
+    for c in order:
+        p = parent[c]
+        if p is None:
+            continue
+        g = parent[p]
+        d = blen[(c, p)]
+        if g is None:
+            pos[c] = pos[p] + np.asarray([d, 0.0, 0.0])
+            continue
+        h = parent[g]
+        theta = ang.get(hyb[p], np.deg2rad(109.47))
+        k = child_count[p]
+        child_count[p] += 1
+        if (c, p) in ring_edges:
+            phi = 0.0 if k == 0 else np.pi
+        else:
+            phi = rng.uniform(-np.pi, np.pi) + k * 2 * np.pi / 3
+        ref = pos[h] if h is not None else pos[g] + np.asarray([0.3, 1.0, 0.0])
+        bc = normalize(pos[p] - pos[g])
+        nrm = np.cross(pos[g] - ref, bc)
+        if np.linalg.norm(nrm) < 1e-6:
+            nrm = np.cross(bc, np.asarray([0.0, 0.0, 1.0]))
+        nrm = normalize(nrm)
+        m = np.stack([bc, np.cross(nrm, bc), nrm], axis=1)
+        local = np.asarray([
+            d * np.cos(np.pi - theta),
+            d * np.sin(np.pi - theta) * np.cos(phi),
+            d * np.sin(np.pi - theta) * np.sin(phi),
+        ])
+        pos[c] = pos[p] + m @ local
+    return pos
+
+
+def dg_embed_conformer(
+    mol: Molecule, rng: np.random.Generator, n_tries: int = 4
+) -> Optional[Molecule]:
+    """First-party distance-geometry conformer embedding (the ETKDG role,
+    reference process_mols.py:456-464 via RDKit EmbedMolecule): NERF
+    tree-build from idealized chemistry (random free dihedrals), refine
+    against smoothed distance bounds (ring closures, sibling angles, vdW
+    clashes), then restore tetrahedral chirality by mirroring if the
+    embedded parities disagree with the input's.  Like ETKDG, local
+    structure is rebuilt from chemistry — nothing of the input conformer's
+    geometry leaks into the result.
+
+    Returns None when no try passes the local-geometry quality gate (max
+    bond-length error < 0.1 A) — callers fall back to torsion
+    randomization."""
+    n = mol.n_atoms
+    if n < 4 or not mol.bonds:
+        return None
+    L, U = _distance_bounds(mol)
+    w_strong = U - L < 0.5  # bonds/angles (tight chemistry bounds)
+    want_tags = mol.chiral_tags()
+    tagged = [i for i, t in enumerate(want_tags) if t != "CHI_UNSPECIFIED"]
+    # signed-volume specs matching chiral_tags' conventions: 4 heavy
+    # neighbors -> det over neighbors in bond order; 3 heavy + implicit H
+    # -> det of neighbors relative to the center; CW = negative sign
+    nbr = mol.neighbors()
+    chiral_spec = []
+    for i in tagged:
+        s = -1.0 if want_tags[i] == "CHI_TETRAHEDRAL_CW" else 1.0
+        heavy = nbr[i]
+        pts = tuple(heavy) if len(heavy) == 4 else (i, *heavy)
+        chiral_spec.append((pts, s))
+
+    def mismatches(cand):
+        got = cand.chiral_tags()
+        return sum(1 for i in tagged if got[i] != "CHI_UNSPECIFIED"
+                   and got[i] != want_tags[i])
+
+    best = None
+    best_score = (np.inf, np.inf)  # (chirality mismatches, bond error)
+    for _ in range(n_tries):
+        pos = _tree_build(mol, rng)
+        pos = pos + rng.normal(0, 0.02, pos.shape)  # break exact planarity
+        pos = _refine(pos.astype(np.float64), L, U, w_strong, iters=800)
+
+        cand = mol.with_coords(pos.astype(np.float32))
+        # if most tagged centers mirror-flipped, reflect the whole conformer
+        if tagged and mismatches(cand) > len(tagged) / 2:
+            pos = pos * np.asarray([-1.0, 1.0, 1.0])
+        # finish with the chirality hinge active (ring-locked centers)
+        pos = _refine(pos, L, U, w_strong, iters=700, chiral=chiral_spec)
+        cand = mol.with_coords(pos.astype(np.float32))
+
+        err = max(
+            abs(float(np.linalg.norm(pos[b.a] - pos[b.b]))
+                - (L[b.a, b.b] + U[b.a, b.b]) / 2)
+            for b in mol.bonds
+        )
+        # prefer chirality-correct candidates; re-rolled dihedrals re-roll
+        # the embedded parities, so extra tries fix partial mismatches
+        score = (mismatches(cand) if tagged else 0, err)
+        if err < 0.1 and score < best_score:
+            best, best_score = cand, score
+        if best is not None and best_score[0] == 0:
+            break
+    return best
+
+
 def generate_conformer(mol: Molecule, rng: Optional[np.random.Generator] = None) -> Molecule:
     """An independent conformer of ``mol`` (see module docstring strategy)."""
     try:  # tier 1: real ETKDG when RDKit exists
@@ -94,7 +409,10 @@ def generate_conformer(mol: Molecule, rng: Optional[np.random.Generator] = None)
         return mol.with_coords(coords)
     except Exception:
         rng = rng or np.random.default_rng(0)
-        return randomize_torsions(mol, rng)
+        emb = dg_embed_conformer(mol, rng)  # tier 2: first-party DG
+        if emb is not None:
+            return emb
+        return randomize_torsions(mol, rng)  # tier 3
 
 
 def optimize_rotatable_bonds(

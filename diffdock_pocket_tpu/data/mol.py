@@ -163,7 +163,13 @@ class Molecule:
             orders = nbr_orders[i]
             if s not in chem.DEFAULT_VALENCE:
                 out.append("misc")
-            elif any(o == 3 for o in orders) or sum(1 for o in orders if o == 2) >= 2:
+            elif any(o == 3 for o in orders) or (
+                sum(1 for o in orders if o == 2) >= 2 and len(orders) <= 2
+            ):
+                # SP needs a LINEAR center: a triple bond, or two doubles on
+                # a 2-neighbor atom (allene/CO2).  Two doubles on a
+                # 3-neighbor center (carboxylate, nitro as drawn in SDF) is
+                # trigonal-planar SP2 — RDKit agrees.
                 out.append("SP")
             elif any(o >= 1.5 for o in orders):
                 out.append("SP2")
