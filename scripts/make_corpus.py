@@ -31,11 +31,18 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+# This builder is CPU-only by design: route the platform request through
+# runtime.setup (jax.config.update) — the TPU plugin's interpreter-start
+# hook force-sets jax_platforms via jax.config, so env vars alone are
+# ineffective, and the environment's global JAX_PLATFORMS=axon must not
+# leak in.  DDP_TPU_PLATFORM can still override for experiments.
+from diffdock_pocket_tpu import runtime
+
+runtime.setup(platform=os.environ.get("DDP_TPU_PLATFORM", "cpu"))
 
 from diffdock_pocket_tpu import diffusion, evaluation, visualise
 from diffdock_pocket_tpu.data import featurize
@@ -44,14 +51,24 @@ from diffdock_pocket_tpu.data.sdf import read_molecule, write_sdf
 from multi_complex_journey import make_fragments, subset_molecule  # noqa: E402
 
 EX = os.path.join(os.path.dirname(__file__), os.pardir, "example_data")
-OUT = os.path.join(os.path.dirname(__file__), os.pardir, "results", "corpus")
+# env overrides: a HARDER corpus for generalization stress tests of models
+# trained on the default one, e.g.
+#   CORPUS_OUT=results/corpus_hard CORPUS_CHI1=0.9 CORPUS_CHI2=0.8 \
+#   CORPUS_BB2=0.45 python scripts/make_corpus.py
+OUT = os.environ.get(
+    "CORPUS_OUT",
+    os.path.join(os.path.dirname(__file__), os.pardir, "results", "corpus"),
+)
 HOLO = os.path.join(EX, "3dpf_protein.pdb")
 LIGAND = os.path.join(EX, "3dpf_ligand.sdf")
 N_FRAGMENTS = 8
 HELD_OUT_FRAGS = {3, 6}
-CHI_SIGMA = {"apo1": 0.6, "apo2": 0.5}
-BACKBONE_SIGMA = {"apo1": 0.0, "apo2": 0.25}
-POCKET_JITTER = 1.0  # A, applied to apo2 TRAINING rows only
+CHI_SIGMA = {"apo1": float(os.environ.get("CORPUS_CHI1", 0.6)),
+             "apo2": float(os.environ.get("CORPUS_CHI2", 0.5))}
+BACKBONE_SIGMA = {"apo1": float(os.environ.get("CORPUS_BB1", 0.0)),
+                  "apo2": float(os.environ.get("CORPUS_BB2", 0.25))}
+# A, applied to apo2 TRAINING rows only
+POCKET_JITTER = float(os.environ.get("CORPUS_JITTER", 1.0))
 
 
 def make_apo_variant(tag: str, rng: np.random.Generator) -> tuple[str, float]:

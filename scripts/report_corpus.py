@@ -1,11 +1,12 @@
 """Corpus-journey report: per-complex held-out table + the round-3 'done'
 criteria (judge ask #1):
 - top-1-by-confidence RMSD < 2 A on (target: >= 7/8 of) the held-out set;
-- ZERO catastrophic misranks = complexes where top-1 > 2 A while the best
-  sample is < 2 A (the round-2 frag3_apo failure mode).
+- ZERO catastrophic misranks = complexes where top-1 RMSD > 2x the best
+  sample's AND > 2 A (the round-2 frag3_apo failure mode).
 
 Reads $C/preds/rmsds.npy + names.npy (written by evaluate_files.py) and
-$C/heldout_eval.json; writes results/corpus_journey.json.
+$C/heldout_eval.json; writes $OUT_JSON (default
+results/corpus_journey.json).
 """
 import json
 import os
@@ -16,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 C = os.environ.get("C", "results/corpus")
+OUT_JSON = os.environ.get("OUT_JSON", "results/corpus_journey.json")
 
 
 def main():
@@ -65,7 +67,7 @@ def main():
         "n_catastrophic_misranks": len(misranks),
         "eval_summary": eval_summary,
     }
-    with open("results/corpus_journey.json", "w") as fh:
+    with open(OUT_JSON, "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps({k: v for k, v in out.items()
                       if k not in ("per_complex", "eval_summary", "corpus_meta")},
