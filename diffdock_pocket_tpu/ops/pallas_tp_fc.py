@@ -18,13 +18,11 @@ nonzero cg entries (cg tensors come from ops/wigner.py and are already in
 the FCTP normalization, * sqrt(2*l3+1)); (a, b) product rows are memoized
 per channel since multiple output components share them.
 
-GRADIENT SCOPE: custom VJP with exact cotangents for h, x_dst and the MLP
-weights via an XLA recompute of the unfused math (fp32), ZEROS for d(sh) and
-d(edge_weight) — identical contract to fused_tp_messages (positions must be
-held constant; use ops/tensor_product.py for position gradients).  Unlike
-the lmax=1 pair there is no hand-written backward kernel: the second-order
-family is an opt-in architecture, so training it pays the unfused backward
-while inference gets the fused forward.
+GRADIENT SCOPE: custom VJP with cotangents for h, x_dst and the MLP
+weights via hand-written backward Pallas kernels (ops/pallas_tp_fc_bwd.py,
+mirroring the lmax=1 pair's two-kernel dh/dx + dW2 split), ZEROS for d(sh)
+and d(edge_weight) — identical contract to fused_tp_messages (positions
+must be held constant; use ops/tensor_product.py for position gradients).
 
 VMEM: the padded transposed weight block [rows_pad, H+1] bf16 is the largest
 buffer — 0.19 MB at ns=16/nv=4 up to 3.7 MB at ns=48/nv=10 (last ladder
@@ -250,23 +248,60 @@ def _fc_fwd(h, x_dst, sh, edge_weight, w2, b2,
     return out, (h, x_dst, sh, edge_weight, w2, b2)
 
 
+def _unrelayout_w2_fc(dw2t, db2t, tp):
+    """Inverse of _relayout_w2_fc: padded transposed grads -> [H, numel],
+    [numel]."""
+    plan, _ = _plan_fc(tp)
+    H = dw2t.shape[1]
+    cols, bcols = [], []
+    for fin, fout, fout_pad, off in plan:
+        if fin * fout == 0:
+            continue
+        blk = dw2t[off : off + fin * fout_pad].reshape(fin, fout_pad, H)
+        cols.append(blk[:, :fout, :].reshape(fin * fout, H).T)
+        bb = db2t[off : off + fin * fout_pad, 0].reshape(fin, fout_pad)
+        bcols.append(bb[:, :fout].reshape(fin * fout))
+    return jnp.concatenate(cols, axis=1), jnp.concatenate(bcols)
+
+
 def _fc_bwd_one(h, x_dst, sh, edge_weight, w2, b2, g,
-                in_irreps, sh_irreps, out_irreps):
+                in_irreps, sh_irreps, out_irreps, interpret=False):
+    from .pallas_tp_fc_bwd import run_bwd_fc
+
     tp = FullyConnectedTensorProduct(in_irreps, sh_irreps, out_irreps)
+    E, H = h.shape
+    E_pad = _ceil_to(max(E, TILE), TILE)
+    if E_pad != E:
+        pad = [(0, E_pad - E)]
+        h_p = jnp.pad(h, pad + [(0, 0)])
+        x_p = jnp.pad(x_dst, pad + [(0, 0)])
+        sh_p = jnp.pad(sh, pad + [(0, 0)])
+        ew_p = jnp.pad(edge_weight, pad)
+        gt = jnp.pad(g, pad + [(0, 0)])
+    else:
+        h_p, x_p, sh_p, ew_p, gt = h, x_dst, sh, edge_weight, g
 
-    def f(h_, x_, w2_, b2_):
-        w = (h_ @ w2_ + b2_) * edge_weight[..., None]
-        return tp(x_, sh, w)
+    plan, rows_pad = _plan_fc(tp)
+    chans = _channels_fc(tp)
+    w2a = _aug_w2_fc(w2, b2, tp)
 
-    _, vjp = jax.vjp(f, h, x_dst, w2, b2)
-    dh, dx, dw2, db2 = vjp(g)
-    return dh, dx, jnp.zeros_like(sh), jnp.zeros_like(edge_weight), dw2, db2
+    dh_t, dx_t, dw2a = run_bwd_fc(
+        tp, plan, chans, rows_pad,
+        _base._aug_h(h_p.astype(jnp.bfloat16).T), x_p.T, sh_p.T,
+        ew_p[None, :].astype(jnp.float32), w2a,
+        gt.T.astype(jnp.float32), interpret=interpret,
+    )
+    dh = dh_t.T[:E, :H]  # drop the ones-row lane
+    dx = dx_t.T[:E]
+    dw2, db2 = _unrelayout_w2_fc(dw2a[:, :H], dw2a[:, H:], tp)
+    return (dh, dx, jnp.zeros_like(sh), jnp.zeros_like(edge_weight),
+            dw2, db2)
 
 
 def _fc_bwd(in_irreps, sh_irreps, out_irreps, interpret, res, g):
     h, x_dst, sh, edge_weight, w2, b2 = res
     return _fc_bwd_one(h, x_dst, sh, edge_weight, w2, b2, g,
-                       in_irreps, sh_irreps, out_irreps)
+                       in_irreps, sh_irreps, out_irreps, interpret)
 
 
 fused_fc_tp_messages.defvjp(_fc_fwd, _fc_bwd)
@@ -370,7 +405,7 @@ def _fc_multi_bwd(in_irreps, sh_irreps, out_irreps, interpret, parts, gs):
     for (h, x_dst, sh, ew, w2, b2), g in zip(parts, gs):
         douts.append(
             _fc_bwd_one(h, x_dst, sh, ew, w2, b2, g,
-                        in_irreps, sh_irreps, out_irreps)
+                        in_irreps, sh_irreps, out_irreps, interpret)
         )
     return (tuple(douts),)
 
