@@ -156,7 +156,23 @@ def mode_cache():
         def key_lines(r):
             return [ln for ln in (r.get("stderr_full") or "").splitlines()
                     if "get_cache_key hash" in ln]
+
+        import re
+
+        def parse_entries(lines):
+            ents = {}
+            for ln in lines:
+                m = re.search(r"hash of serialized (\w[\w ]*): ([0-9a-f]+)", ln)
+                if m:
+                    ents.setdefault(m.group(1), set()).add(m.group(2))
+            return ents
+        pf, ps = parse_entries(key_lines(first)), parse_entries(key_lines(second))
+        entry_diff = {k: ("SAME" if pf.get(k) == ps.get(k) else "DIFFERS")
+                      for k in sorted(set(pf) | set(ps))}
+        for k, v in entry_diff.items():
+            print(f"key entry {k}: {v}")
         out = {"first": first, "second": second, "cache_hit": hit,
+               "entry_diff": entry_diff,
                "first_key_entries": key_lines(first),
                "second_key_entries": key_lines(second)}
         for r in (first, second):
