@@ -163,6 +163,10 @@ class Molecule:
             orders = nbr_orders[i]
             if s not in chem.DEFAULT_VALENCE:
                 out.append("misc")
+            elif len(orders) >= 6:
+                out.append("SP3D2")  # hexacoordinate (e.g. SF6-like S)
+            elif len(orders) == 5:
+                out.append("SP3D")  # pentacoordinate (hypervalent P/S)
             elif any(o == 3 for o in orders) or (
                 sum(1 for o in orders if o == 2) >= 2 and len(orders) <= 2
             ):

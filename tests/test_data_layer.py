@@ -378,3 +378,37 @@ def test_generate_conformer_tiers():
     conf = generate_conformer(mol, np.random.default_rng(0))
     assert conf.n_atoms == mol.n_atoms
     assert aligned_rmsd(conf.coords, mol.coords) > 1.0
+
+
+def test_hybridization_rules():
+    """Hybridization heuristic edge cases: carboxylate-like centers (two
+    doubles, 3 neighbors) are SP2 not SP; cumulated doubles on a 2-neighbor
+    center are SP; hypervalent penta/hexacoordination maps to SP3D/SP3D2."""
+    import numpy as np
+
+    from diffdock_pocket_tpu.data.mol import Bond, Molecule
+
+    def hyb(symbols, bonds):
+        n = len(symbols)
+        coords = np.random.default_rng(0).standard_normal((n, 3)).astype(np.float32)
+        return Molecule(symbols, coords, bonds).hybridizations()
+
+    # carboxylate C: two C=O plus one C-C -> SP2
+    h = hyb(["C", "O", "O", "C"], [Bond(0, 1, 2), Bond(0, 2, 2), Bond(0, 3, 1)])
+    assert h[0] == "SP2"
+    # allene-like center: two doubles, two neighbors -> SP
+    h = hyb(["C", "C", "C"], [Bond(1, 0, 2), Bond(1, 2, 2)])
+    assert h[1] == "SP"
+    # nitrile C -> SP
+    h = hyb(["C", "N", "C"], [Bond(0, 1, 3), Bond(0, 2, 1)])
+    assert h[0] == "SP"
+    # pentacoordinate P -> SP3D; hexacoordinate S -> SP3D2
+    h = hyb(["P", "F", "F", "F", "F", "F"],
+            [Bond(0, i, 1) for i in range(1, 6)])
+    assert h[0] == "SP3D"
+    h = hyb(["S", "F", "F", "F", "F", "F", "F"],
+            [Bond(0, i, 1) for i in range(1, 7)])
+    assert h[0] == "SP3D2"
+    # plain sp3 carbon
+    h = hyb(["C", "C"], [Bond(0, 1, 1)])
+    assert h[0] == "SP3"
