@@ -179,6 +179,20 @@ class Molecule:
                 out.append("SP2")
             else:
                 out.append("SP3")
+        # conjugation pass: an N/O with only single bonds whose neighbor
+        # carries a double/aromatic bond is planar-conjugated (amide,
+        # aniline, ester O) — RDKit reports these SP2 via its resonance
+        # model.  One pass only (no cascading through saturated chains).
+        base = list(out)
+        nbr = self.neighbors()
+        for i, s in enumerate(self.symbols):
+            if s in ("N", "O") and base[i] == "SP3":
+                if any(
+                    base[j] in ("SP", "SP2")
+                    and any(o >= 1.5 for o in nbr_orders[j])
+                    for j in nbr[i]
+                ):
+                    out[i] = "SP2"
         return out
 
     # ------------------------------------------------------------------

@@ -412,3 +412,27 @@ def test_hybridization_rules():
     # plain sp3 carbon
     h = hyb(["C", "C"], [Bond(0, 1, 1)])
     assert h[0] == "SP3"
+
+
+def test_conjugated_n_o_sp2():
+    """Amide N / ester O adjacent to a carbonyl are SP2 (conjugation);
+    amine N next to a saturated chain stays SP3."""
+    import numpy as np
+
+    from diffdock_pocket_tpu.data.mol import Bond, Molecule
+
+    def hyb(symbols, bonds):
+        coords = np.zeros((len(symbols), 3), np.float32)
+        return Molecule(symbols, coords, bonds).hybridizations()
+
+    # acetamide heavy atoms: C-C(=O)-N
+    h = hyb(["C", "C", "O", "N"],
+            [Bond(0, 1, 1), Bond(1, 2, 2), Bond(1, 3, 1)])
+    assert h[1] == "SP2" and h[3] == "SP2"
+    # methyl ester: the bridging O is conjugated
+    h = hyb(["C", "C", "O", "O", "C"],
+            [Bond(0, 1, 1), Bond(1, 2, 2), Bond(1, 3, 1), Bond(3, 4, 1)])
+    assert h[3] == "SP2"
+    # ethylamine N: saturated neighborhood -> SP3
+    h = hyb(["C", "C", "N"], [Bond(0, 1, 1), Bond(1, 2, 1)])
+    assert h[2] == "SP3"
