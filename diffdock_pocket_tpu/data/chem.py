@@ -201,3 +201,16 @@ def vdw_radius(symbol: str) -> float:
 
 def covalent_radius(symbol: str) -> float:
     return COVALENT_RADII.get(symbol, DEFAULT_COVALENT)
+
+
+# bond-order shortening of the covalent-radius sum (Angstrom): double and
+# triple bonds are shorter than the single-bond radii predict; 4 = aromatic
+BOND_ORDER_SHRINK = {1: 0.0, 2: 0.12, 3: 0.22, 4: 0.06}
+
+
+def ideal_bond_length(sym_a: str, sym_b: str, order: int = 1) -> float:
+    """Idealized bond length used by the distance-geometry conformer
+    embedder (bounds matrix AND tree-build start — single source so the
+    two cannot drift apart)."""
+    return (covalent_radius(sym_a) + covalent_radius(sym_b)
+            - BOND_ORDER_SHRINK.get(order, 0.0))

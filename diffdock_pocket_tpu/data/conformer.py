@@ -89,11 +89,8 @@ def _distance_bounds(mol: Molecule):
     n = mol.n_atoms
     hyb = mol.hybridizations()
     blen = {}
-    order_shrink = {1: 0.0, 2: 0.12, 3: 0.22, 4: 0.06}
     for b in mol.bonds:
-        d = (chem.covalent_radius(mol.symbols[b.a])
-             + chem.covalent_radius(mol.symbols[b.b])
-             - order_shrink.get(b.type, 0.0))
+        d = chem.ideal_bond_length(mol.symbols[b.a], mol.symbols[b.b], b.type)
         blen[(b.a, b.b)] = blen[(b.b, b.a)] = d
 
     big = 1e3
@@ -253,12 +250,9 @@ def _tree_build(mol: Molecule, rng: np.random.Generator) -> np.ndarray:
     n = mol.n_atoms
     hyb = mol.hybridizations()
     ang = {"SP": np.pi, "SP2": 2 * np.pi / 3, "SP3": np.deg2rad(109.47)}
-    shrink = {1: 0.0, 2: 0.12, 3: 0.22, 4: 0.06}
     blen = {}
     for b in mol.bonds:
-        d = (chem.covalent_radius(mol.symbols[b.a])
-             + chem.covalent_radius(mol.symbols[b.b])
-             - shrink.get(b.type, 0.0))
+        d = chem.ideal_bond_length(mol.symbols[b.a], mol.symbols[b.b], b.type)
         blen[(b.a, b.b)] = blen[(b.b, b.a)] = d
     rings, _ = mol.ring_info()
     rings = [set(r) for r in rings]
@@ -283,6 +277,16 @@ def _tree_build(mol: Molecule, rng: np.random.Generator) -> np.ndarray:
 
     pos = np.zeros((n, 3))
     child_count = collections.Counter()
+    # distinct tetrahedral directions for the root's children (they have no
+    # grandparent frame; identical directions would start whole sibling
+    # subtrees coincident and the refinement would have to untangle fully
+    # overlapped arms from a near-zero-gradient state)
+    root_dirs = np.asarray([
+        [1.0, 0.0, 0.0],
+        [-1.0 / 3.0, 2.0 * np.sqrt(2.0) / 3.0, 0.0],
+        [-1.0 / 3.0, -np.sqrt(2.0) / 3.0, np.sqrt(6.0) / 3.0],
+        [-1.0 / 3.0, -np.sqrt(2.0) / 3.0, -np.sqrt(6.0) / 3.0],
+    ])
     for c in order:
         p = parent[c]
         if p is None:
@@ -290,7 +294,9 @@ def _tree_build(mol: Molecule, rng: np.random.Generator) -> np.ndarray:
         g = parent[p]
         d = blen[(c, p)]
         if g is None:
-            pos[c] = pos[p] + np.asarray([d, 0.0, 0.0])
+            k = child_count[p]
+            child_count[p] += 1
+            pos[c] = pos[p] + d * root_dirs[k % 4]
             continue
         h = parent[g]
         theta = ang.get(hyb[p], np.deg2rad(109.47))
@@ -381,6 +387,15 @@ def dg_embed_conformer(
             best, best_score = cand, score
         if best is not None and best_score[0] == 0:
             break
+    # a flipped stereocenter is unrecoverable downstream (torsional DE
+    # matching and rigid+torsion diffusion cannot un-mirror a center), so a
+    # chirality-mismatched embed must NOT be used: fall back to tier 3
+    # (torsion randomization preserves the input's chirality exactly)
+    if best is not None and best_score[0] > 0:
+        logger.info("dg_embed: %d stereocenter(s) flipped after %d tries; "
+                    "falling back to torsion randomization", best_score[0],
+                    n_tries)
+        return None
     return best
 
 

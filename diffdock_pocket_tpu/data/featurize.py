@@ -69,6 +69,11 @@ class DataConfig:
     # the field so old checkpoints keep their training-time features
     # (utils/checkpoint.py::load_data_config).
     lig_chirality: bool = True
+    # hybridization heuristic revision ("v1" = round-2 rules; "v2" adds
+    # carboxylate/nitro SP2, hypervalent SP3D/SP3D2 and the N/O
+    # conjugation pass).  Same back-compat contract as lig_chirality: the
+    # feature feeds a trained embedding, so old run dirs reconstruct "v1".
+    hybridization_version: str = "v2"
 
 
 @dataclass
@@ -143,7 +148,8 @@ def build_complex(
                 crystal, popsize=cfg.popsize, maxiter=cfg.maxiter, rng=rng
             )
             extra_conformers.append(alt.coords)
-    lig_feat = lig.featurize(chirality=cfg.lig_chirality)
+    lig_feat = lig.featurize(chirality=cfg.lig_chirality,
+                             hybridization_version=cfg.hybridization_version)
     bond_index, bond_attr = lig.bond_arrays()
     tor_index, tor_mask = lig.rotatable_bonds()
 

@@ -152,33 +152,44 @@ class Molecule:
                 flags[b.b] = True
         return flags
 
-    def hybridizations(self) -> list[str]:
+    def hybridizations(self, version: str = "v2") -> list[str]:
+        """version="v1" is the round-2 heuristic (triple OR two doubles ->
+        SP regardless of degree; no hypervalent categories; no conjugation
+        pass), kept because hybridization is a trained embedding input:
+        checkpoints from before the v2 rules must featurize with the rules
+        they were trained on (DataConfig.hybridization_version, yml
+        back-compat in utils/checkpoint.py).  Geometry consumers
+        (distance bounds, chiral tags) always use v2."""
         nbr_orders = [[] for _ in range(self.n_atoms)]
         for b in self.bonds:
             o = 1.5 if b.type == 4 else float(b.type)
             nbr_orders[b.a].append(o)
             nbr_orders[b.b].append(o)
+        v2 = version != "v1"
         out = []
         for i, s in enumerate(self.symbols):
             orders = nbr_orders[i]
             if s not in chem.DEFAULT_VALENCE:
                 out.append("misc")
-            elif len(orders) >= 6:
+            elif v2 and len(orders) >= 6:
                 out.append("SP3D2")  # hexacoordinate (e.g. SF6-like S)
-            elif len(orders) == 5:
+            elif v2 and len(orders) == 5:
                 out.append("SP3D")  # pentacoordinate (hypervalent P/S)
             elif any(o == 3 for o in orders) or (
-                sum(1 for o in orders if o == 2) >= 2 and len(orders) <= 2
+                sum(1 for o in orders if o == 2) >= 2
+                and (len(orders) <= 2 or not v2)
             ):
                 # SP needs a LINEAR center: a triple bond, or two doubles on
                 # a 2-neighbor atom (allene/CO2).  Two doubles on a
                 # 3-neighbor center (carboxylate, nitro as drawn in SDF) is
-                # trigonal-planar SP2 — RDKit agrees.
+                # trigonal-planar SP2 — RDKit agrees.  (v1 called these SP.)
                 out.append("SP")
             elif any(o >= 1.5 for o in orders):
                 out.append("SP2")
             else:
                 out.append("SP3")
+        if not v2:
+            return out
         # conjugation pass: an N/O with only single bonds whose neighbor
         # carries a double/aromatic bond is planar-conjugated (amide,
         # aniline, ester O) — RDKit reports these SP2 via its resonance
@@ -196,13 +207,17 @@ class Molecule:
         return out
 
     # ------------------------------------------------------------------
-    def symmetry_classes(self, rounds: int = 8) -> list[int]:
+    def symmetry_classes(self, rounds: int | None = None) -> list[int]:
         """Atom symmetry classes by Weisfeiler-Lehman color refinement over
         the heavy-atom graph (element, heavy degree, charge, numH seed;
         neighbor multisets with bond orders per round).  Two atoms share a
         class only if their substituent environments are indistinguishable
         — the invariant-rank role RDKit's canonical ranks play in
-        stereocenter detection."""
+        stereocenter detection.  Runs until the class count stabilizes
+        (<= n_atoms rounds — a fixed small cap would under-distinguish
+        substituent arms that only differ many bonds out)."""
+        if rounds is None:
+            rounds = self.n_atoms
         numh, _ = self._h_counts()
         nbr_b = [[] for _ in range(self.n_atoms)]
         for b in self.bonds:
@@ -272,18 +287,21 @@ class Molecule:
         return tags
 
     # ------------------------------------------------------------------
-    def featurize(self, chirality: bool = False) -> np.ndarray:
+    def featurize(self, chirality: bool = False,
+                  hybridization_version: str = "v2") -> np.ndarray:
         """Per-atom categorical features [N, 16] (reference
         lig_atom_featurizer order, process_mols.py:115-140).
 
         chirality=True computes tetrahedral CW/CCW tags from the 3D
         coordinates (chiral_tags); False keeps the historical
-        all-CHI_UNSPECIFIED column (checkpoints trained before the feature
-        reconstruct with False via their model_parameters.yml)."""
+        all-CHI_UNSPECIFIED column.  hybridization_version selects the
+        heuristic revision.  Both are trained-embedding contracts:
+        checkpoints reconstruct their training-time settings via
+        model_parameters.yml (utils/checkpoint.py::load_data_config)."""
         numh, impl = self._h_counts()
         rings, ring_counts = self.ring_info()
         aro = self.aromatic_flags()
-        hyb = self.hybridizations()
+        hyb = self.hybridizations(hybridization_version)
         nbr = self.neighbors()
         chi = (self.chiral_tags() if chirality
                else ["CHI_UNSPECIFIED"] * self.n_atoms)

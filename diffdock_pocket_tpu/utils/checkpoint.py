@@ -54,6 +54,7 @@ def load_data_config(run_dir: str):
     # fields added after a run was trained must reconstruct with the
     # behavior that run was trained with, not the fresh-run default
     dc.setdefault("lig_chirality", False)
+    dc.setdefault("hybridization_version", "v1")
     names = {f.name for f in dataclasses.fields(DataConfig)}
     return DataConfig(**{k: v for k, v in dc.items() if k in names})
 

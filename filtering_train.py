@@ -152,6 +152,8 @@ def main():
         flexible_sidechains=score_cfg.flexible_sidechains,
         keep_local_structures=False,
         lig_chirality=score_dc.lig_chirality if score_dc else False,
+        hybridization_version=(score_dc.hybridization_version
+                               if score_dc else "v1"),
     )
 
     if args.protein_ligand_csv:

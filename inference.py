@@ -146,7 +146,12 @@ def inference_data_config(train_dc, args, DataConfig):
     conformer matching off, fallback on)."""
     import dataclasses
 
-    base = train_dc if train_dc is not None else DataConfig()
+    # run dirs predating the stored data_config must featurize with the
+    # trained-embedding settings of their era, not fresh-run defaults
+    # (same contract as utils/checkpoint.py::load_data_config's setdefaults)
+    base = train_dc if train_dc is not None else DataConfig(
+        lig_chirality=False, hybridization_version="v1"
+    )
     return dataclasses.replace(
         base,
         chain_cutoff=float("inf"),

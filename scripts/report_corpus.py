@@ -34,6 +34,7 @@ def main():
     per = {}
     top1s, bests = [], []
     misranks = []
+    rank_failures = []
     for name, r in zip(names, rmsds):
         r = np.asarray(r, np.float64)
         r = r[np.isfinite(r)]
@@ -53,6 +54,11 @@ def main():
         # top-1 actually being bad (> 2 A) — matches BASELINE.md's table
         if top1 > 2.0 * best and top1 > 2.0:
             misranks.append(str(name))
+        # complementary absolute criterion: confidence picked a > 2 A pose
+        # while a < 2 A pose existed (catches e.g. best 1.9 / top-1 3.0,
+        # which the ratio test does not)
+        if top1 > 2.0 and best < 2.0:
+            rank_failures.append(str(name))
 
     top1s, bests = np.asarray(top1s), np.asarray(bests)
     out = {
@@ -65,6 +71,8 @@ def main():
         "mean_best_rmsd": round(float(bests.mean()), 3),
         "catastrophic_misranks": misranks,
         "n_catastrophic_misranks": len(misranks),
+        "rank_failures_top1_gt2_best_lt2": rank_failures,
+        "n_rank_failures": len(rank_failures),
         "eval_summary": eval_summary,
     }
     with open(OUT_JSON, "w") as fh:

@@ -289,17 +289,19 @@ def test_chiral_tags_from_3d():
 
 
 def test_lig_chirality_yml_backcompat(tmp_path):
-    """Run dirs whose yml predates lig_chirality reconstruct with the
-    feature OFF (their training-time behavior), while fresh DataConfig
-    defaults it on."""
+    """Run dirs whose yml predates the trained-embedding featurization
+    fields (lig_chirality, hybridization_version) reconstruct with their
+    era's behavior, while fresh DataConfig uses the new defaults."""
     from diffdock_pocket_tpu.data.featurize import DataConfig
     from diffdock_pocket_tpu.models.config import ModelConfig
     from diffdock_pocket_tpu.utils import checkpoint as ckpt
 
     assert DataConfig().lig_chirality is True
+    assert DataConfig().hybridization_version == "v2"
 
     old_dc = {k: v for k, v in __import__("dataclasses").asdict(
-        DataConfig()).items() if k != "lig_chirality"}
+        DataConfig()).items()
+        if k not in ("lig_chirality", "hybridization_version")}
     import yaml
 
     cfg = ModelConfig(ns=4, nv=2)
@@ -309,10 +311,23 @@ def test_lig_chirality_yml_backcompat(tmp_path):
         yaml.safe_dump(d, fh)
     dc = ckpt.load_data_config(str(tmp_path))
     assert dc.lig_chirality is False
+    assert dc.hybridization_version == "v1"
 
-    # and a NEW run dir round-trips True
+    # and a NEW run dir round-trips the new defaults
     ckpt.save_yaml_config(str(tmp_path), cfg, data_cfg=DataConfig())
-    assert ckpt.load_data_config(str(tmp_path)).lig_chirality is True
+    dc2 = ckpt.load_data_config(str(tmp_path))
+    assert dc2.lig_chirality is True and dc2.hybridization_version == "v2"
+
+    # v1 rules differ from v2 exactly where documented (3dpf: 3/37 atoms)
+    from diffdock_pocket_tpu.data import sdf as sdflib
+
+    mol = sdflib.parse_sdf(LIGAND).remove_hydrogens()
+    h1, h2 = mol.hybridizations("v1"), mol.hybridizations("v2")
+    assert h1 != h2
+    f1 = mol.featurize(hybridization_version="v1")
+    f2 = mol.featurize(hybridization_version="v2")
+    assert (f1[:, 7] != f2[:, 7]).sum() > 0  # hybridization column drifts
+    assert np.array_equal(np.delete(f1, 7, axis=1), np.delete(f2, 7, axis=1))
 
 
 def test_dg_embed_conformer():
@@ -346,11 +361,9 @@ def test_dg_embed_conformer():
             break
     assert emb is not None
 
-    shrink = {1: 0.0, 2: 0.12, 3: 0.22, 4: 0.06}
     for b in mol.bonds:
-        ideal = (chem.covalent_radius(mol.symbols[b.a])
-                 + chem.covalent_radius(mol.symbols[b.b])
-                 - shrink.get(b.type, 0.0))
+        ideal = chem.ideal_bond_length(mol.symbols[b.a], mol.symbols[b.b],
+                                       b.type)
         got = float(np.linalg.norm(emb.coords[b.a] - emb.coords[b.b]))
         assert abs(got - ideal) < 0.12, (b, got, ideal)
 
