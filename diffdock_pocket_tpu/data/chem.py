@@ -205,7 +205,8 @@ def covalent_radius(symbol: str) -> float:
 
 # bond-order shortening of the covalent-radius sum (Angstrom): double and
 # triple bonds are shorter than the single-bond radii predict; 4 = aromatic
-BOND_ORDER_SHRINK = {1: 0.0, 2: 0.12, 3: 0.22, 4: 0.06}
+# (0.14: benzene C-C is 1.39 vs the 1.54 single-bond radius sum)
+BOND_ORDER_SHRINK = {1: 0.0, 2: 0.12, 3: 0.22, 4: 0.14}
 
 
 def ideal_bond_length(sym_a: str, sym_b: str, order: int = 1) -> float:

@@ -88,9 +88,20 @@ def _distance_bounds(mol: Molecule):
 
     n = mol.n_atoms
     hyb = mol.hybridizations()
+    aro = mol.aromatic_flags()
+    rings_all = [set(r) for r in mol.ring_info()[0]]
+    ring_sizes = [len(r) for r in mol.ring_info()[0]]
     blen = {}
     for b in mol.bonds:
-        d = chem.ideal_bond_length(mol.symbols[b.a], mol.symbols[b.b], b.type)
+        order = b.type
+        # Kekule-drawn aromatic rings encode alternating single/double: a
+        # "single" bond between two aromatic atoms is really ~1.40 A, and a
+        # conjugated single between sp2 centers (biaryl, diene) ~1.46 A
+        if order == 1 and aro[b.a] and aro[b.b]:
+            order = 4
+        d = chem.ideal_bond_length(mol.symbols[b.a], mol.symbols[b.b], order)
+        if order == 1 and hyb[b.a] in ("SP", "SP2") and hyb[b.b] in ("SP", "SP2"):
+            d -= 0.06
         blen[(b.a, b.b)] = blen[(b.b, b.a)] = d
 
     big = 1e3
@@ -98,23 +109,37 @@ def _distance_bounds(mol: Molecule):
     L = np.zeros((n, n))
     np.fill_diagonal(U, 0.0)
     for (i, j), d in blen.items():
-        L[i, j] = d - 0.02
-        U[i, j] = d + 0.02
+        L[i, j] = d - 0.03
+        U[i, j] = d + 0.03
 
     ang = {"SP": np.pi, "SP2": 2 * np.pi / 3, "SP3": np.deg2rad(109.47)}
     nbr = mol.neighbors()
+
+    def ring_angle(i, j, k):
+        """Interior angle at j when i-j-k all lie in one ring: the regular
+        R-gon angle of the smallest shared ring (5-rings bend well below
+        the sp2 120-degree prediction; heteroatom deviations ride the
+        widened tolerance)."""
+        shared = [sz for r, sz in zip(rings_all, ring_sizes)
+                  if i in r and j in r and k in r]
+        if not shared:
+            return None
+        R = min(shared)
+        return (R - 2) * np.pi / R
+
     for j in range(n):
-        theta = ang.get(hyb[j], np.deg2rad(109.47))
+        theta_hyb = ang.get(hyb[j], np.deg2rad(109.47))
         for ai in range(len(nbr[j])):
             for bi in range(ai + 1, len(nbr[j])):
                 i, k = nbr[j][ai], nbr[j][bi]
+                ra = ring_angle(i, j, k)
+                theta, tol = (ra, 0.22) if ra is not None else (theta_hyb, 0.15)
                 d1, d2 = blen[(i, j)], blen[(j, k)]
                 d13 = np.sqrt(d1 * d1 + d2 * d2 - 2 * d1 * d2 * np.cos(theta))
-                # +-0.15: real angles deviate from the ideal-hybridization
-                # ones (rings, conjugation); validated against the 3dpf
-                # crystal staying inside the smoothed bounds
-                L[i, k] = L[k, i] = max(L[i, k], d13 - 0.15)
-                U[i, k] = U[k, i] = min(U[i, k], d13 + 0.15)
+                # tolerances validated against the 3dpf crystal staying
+                # inside the smoothed bounds
+                L[i, k] = L[k, i] = max(L[i, k], d13 - tol)
+                U[i, k] = U[k, i] = min(U[i, k], d13 + tol)
 
     # 1-4: cis (eclipsed) to trans extremes through the central bond
     for b in mol.bonds:
@@ -190,9 +215,11 @@ def _distance_bounds(mol: Molecule):
     return L, U
 
 
-def _refine(pos, L, U, w_strong, iters=300, lr=0.05, chiral=()):
+def _refine(pos, L, U, w_strong, iters=300, lr=0.05, chiral=(), weak_w=1.0):
     """Gradient descent on squared bound violations (w_strong marks pairs
-    with tight chemistry bounds: bonds/angles get 10x weight).
+    with tight chemistry bounds: bonds/angles get 10x weight; weak_w=0 is
+    the final local-geometry polish — only chemistry bounds + chirality
+    active, so vdW/long-range terms cannot hold bonds stretched).
 
     ``chiral``: per tetrahedral stereocenter (pts [4 atom indices], s = +-1
     desired sign of det[p1-p0, p2-p0, p3-p0]) — a hinge max(0, m - s*V)
@@ -200,7 +227,7 @@ def _refine(pos, L, U, w_strong, iters=300, lr=0.05, chiral=()):
     cannot be fixed by re-rolling dihedrals or global mirroring)."""
     n = len(pos)
     iu, ju = np.triu_indices(n, 1)
-    w = np.where(w_strong[iu, ju], 10.0, 1.0)
+    w = np.where(w_strong[iu, ju], 10.0, weak_w)
     lo, hi = L[iu, ju], U[iu, ju]
     w_chiral, margin = 3.0, 0.5
     for _ in range(iters):
@@ -371,8 +398,11 @@ def dg_embed_conformer(
         # if most tagged centers mirror-flipped, reflect the whole conformer
         if tagged and mismatches(cand) > len(tagged) / 2:
             pos = pos * np.asarray([-1.0, 1.0, 1.0])
-        # finish with the chirality hinge active (ring-locked centers)
-        pos = _refine(pos, L, U, w_strong, iters=700, chiral=chiral_spec)
+        # finish with the chirality hinge active (ring-locked centers),
+        # then polish local geometry with only chemistry bounds active
+        pos = _refine(pos, L, U, w_strong, iters=600, chiral=chiral_spec)
+        pos = _refine(pos, L, U, w_strong, iters=300, chiral=chiral_spec,
+                      weak_w=0.0)
         cand = mol.with_coords(pos.astype(np.float32))
 
         err = max(
