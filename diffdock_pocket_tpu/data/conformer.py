@@ -88,16 +88,26 @@ def _distance_bounds(mol: Molecule):
 
     n = mol.n_atoms
     hyb = mol.hybridizations()
-    aro = mol.aromatic_flags()
     rings_all = [set(r) for r in mol.ring_info()[0]]
     ring_sizes = [len(r) for r in mol.ring_info()[0]]
+    # aromatic-LIKE atoms for geometry only (never the is_aromatic feature,
+    # which is a trained-embedding contract): explicit type-4 bonds OR
+    # membership in a 5-7 ring whose atoms are all sp/sp2 — Kekule-drawn
+    # SDFs encode benzene as alternating single/double with no type-4 bond
+    aro = list(mol.aromatic_flags())
+    for r, sz in zip(rings_all, ring_sizes):
+        if 5 <= sz <= 7 and all(hyb[i] in ("SP", "SP2") for i in r):
+            for i in r:
+                aro[i] = True
     blen = {}
     for b in mol.bonds:
         order = b.type
-        # Kekule-drawn aromatic rings encode alternating single/double: a
-        # "single" bond between two aromatic atoms is really ~1.40 A, and a
-        # conjugated single between sp2 centers (biaryl, diene) ~1.46 A
-        if order == 1 and aro[b.a] and aro[b.b]:
+        # a "single" ring bond between aromatic-like atoms is really
+        # ~1.40 A; a conjugated single between sp2 centers (biaryl,
+        # diene) ~1.46 A
+        if order == 1 and aro[b.a] and aro[b.b] and any(
+            b.a in r and b.b in r for r in rings_all
+        ):
             order = 4
         d = chem.ideal_bond_length(mol.symbols[b.a], mol.symbols[b.b], order)
         if order == 1 and hyb[b.a] in ("SP", "SP2") and hyb[b.b] in ("SP", "SP2"):
