@@ -362,8 +362,9 @@ def test_dg_embed_conformer():
     assert emb is not None
 
     for b in mol.bonds:
-        ideal = chem.ideal_bond_length(mol.symbols[b.a], mol.symbols[b.b],
-                                       b.type)
+        # the bounds apply aromatic/conjugation corrections on top of the
+        # raw ideal_bond_length table -> compare to the bounds midpoint
+        ideal = (L[b.a, b.b] + U[b.a, b.b]) / 2
         got = float(np.linalg.norm(emb.coords[b.a] - emb.coords[b.b]))
         assert abs(got - ideal) < 0.12, (b, got, ideal)
 
