@@ -18,9 +18,29 @@
 set -x
 cd "$(dirname "$0")/.."
 
+# defer to any OTHER chip client (notably the driver's round-end bench.py /
+# __graft_entry__ compile check): read-only /proc scan, never signals
+wait_chip_free() {
+  while true; do
+    busy=0
+    for d in /proc/[0-9]*; do
+      pid=${d#/proc/}
+      [ "$pid" = "$$" ] && continue
+      cmd=$(tr '\0' ' ' < "$d/cmdline" 2>/dev/null)
+      case "$cmd" in
+        *bench.py*|*__graft_entry__*) busy=1; break;;
+      esac
+    done
+    [ "$busy" = 0 ] && return 0
+    echo "chip busy (driver bench/entry check); deferring..."
+    sleep 60
+  done
+}
+
 while ! ss -tln 2>/dev/null | grep -q ":8082 "; do sleep 30; done
 echo "=== relay is back; grace 60s ==="
 sleep 60
+wait_chip_free
 
 echo "=== 1. lottery cache probe ==="
 python scripts/repro_compile_lottery.py cache || true
@@ -40,11 +60,13 @@ bash scripts/run_watchdog.sh python bench.py \
 BENCH_BF16_EDGES=1 BENCH_SKIP_INTRA=8 bash scripts/run_watchdog.sh python bench.py \
   | tee results/bench_r3_preview_knobs.json || true
 
+wait_chip_free
 echo "=== 6. affinity stage-B rerun (standardized labels) ==="
 # single source of truth for the rerun command: the standalone script
 # (its r3_queue.pid wait gate no-ops when the queue process is gone)
 bash scripts/r3_affinity_rerun.sh || true
 
+wait_chip_free
 echo "=== 7. lottery flag sweep ==="
 TRIALS=3 CONFIGS=baseline,no_lhs,lhs_rerun python scripts/repro_compile_lottery.py || true
 
