@@ -21,7 +21,7 @@ C=${C:-results/corpus}
 W=$C/workdir
 EPOCHS=${EPOCHS:-150}
 GEN_SPC=${GEN_SPC:-8}
-CONF_EPOCHS=${CONF_EPOCHS:-60}
+CONF_EPOCHS=${CONF_EPOCHS:-120}
 EXTRA_TRAIN_ARGS=${EXTRA_TRAIN_ARGS:-}
 
 [ -f $C/train.csv ] || python scripts/make_corpus.py
@@ -63,7 +63,12 @@ bash scripts/run_watchdog.sh python filtering_train.py \
   --cache_ids_to_combine 1 \
   --affinity_prediction --affinity_index $C/affinity_index.txt \
   --parallel 4 --parallel_aggregators "mean max min std" \
-  --n_epochs $CONF_EPOCHS --batch_size 8 --lr 3e-4 \
+  `# lr 1e-4 (not 3e-4): the raw-label run at 3e-4 oscillated (val MSE` \
+  `# 0.4 <-> 318 between adjacent epochs); labels are now standardized by` \
+  `# default (filtering_train.py computes ModelConfig.affinity_norm from` \
+  `# the index) and checkpoint selection is on val affinity MSE` \
+  --n_epochs $CONF_EPOCHS --batch_size 8 --lr 1e-4 \
+  --main_metric affinity_mse --main_metric_goal min \
   --log_dir $W --run_name conf_affinity
 
 echo "=== stage C: affinity MSE report ==="
