@@ -37,7 +37,49 @@ def setup(platform: str | None = None, cache_dir: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enable_persistent_cache_on_axon()
     _DONE = True
+
+
+def _enable_persistent_cache_on_axon() -> None:
+    """Allow jax's persistent compilation cache on the 'axon' TPU platform.
+
+    jax gates the persistent cache on a platform whitelist
+    (compilation_cache.is_cache_used: ["tpu", "gpu", "cpu", "neuron"]); the
+    axon PJRT plugin registers platform name "axon", so on the real chip the
+    cache is silently DISABLED — every process recompiles everything.  This
+    was the root cause of the cross-process cache miss behind the bench's
+    compile lottery workaround: the cache probe
+    (results/compile_lottery_cache.json) shows the per-entry cache keys are
+    IDENTICAL across two processes, yet the second still cold-compiles.
+
+    The wrapper defers to jax's own answer first and only flips the verdict
+    for the axon platform when the cache is enabled and the backend supports
+    executable serialization (the same conditions jax applies to tpu/gpu).
+    Cache write/read failures stay non-fatal (jax warns and recompiles).
+    """
+    from jax._src import compilation_cache as cc
+
+    if getattr(cc, "_axon_whitelist_patch", False):
+        return
+    orig_is_cache_used = cc.is_cache_used
+
+    def is_cache_used(backend):
+        used = orig_is_cache_used(backend)
+        if (
+            not used
+            and getattr(backend, "platform", "") == "axon"
+            and cc._is_cache_enabled()
+            and getattr(backend, "supports_executable_serialization", True)
+        ):
+            with cc._cache_initialized_mutex:
+                cc._cache_checked = True
+                cc._cache_used = True
+            used = True
+        return used
+
+    cc.is_cache_used = is_cache_used
+    cc._axon_whitelist_patch = True
 
 
 def profile(trace_dir: str | None = None):
