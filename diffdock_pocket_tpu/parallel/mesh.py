@@ -61,7 +61,8 @@ def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "dp"):
     data_sh = batch_sharding(mesh, axis)
     return jax.jit(
         train_step,
-        in_shardings=(state_sh, state_sh, data_sh),
+        # (state, key, batch, tables) — tables replicated like the state
+        in_shardings=(state_sh, state_sh, data_sh, state_sh),
         out_shardings=(state_sh, state_sh),
     )
 

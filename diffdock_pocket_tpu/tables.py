@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -300,6 +301,39 @@ class TorusTables:
 
     def score_norm(self, sigma: Array) -> Array:
         return self.score_norm_table[self._sigma_index(jnp.asarray(sigma))]
+
+
+# pytree registration ----------------------------------------------------------
+#
+# The tables are ARGUMENTS of the jitted train/eval steps, never closures.
+# A closed-over jax.Array is inlined into the lowered HLO as a literal; with
+# the 5001x5001 torus grids that produced ~430 MB of literals in EVERY
+# train-step executable (measured: 470 MB persistent-cache entries, one per
+# bucket shape) — catastrophic for compile time, HBM (one table copy per
+# executable), and the TPU tunnel (each remote compile shipped the tables).
+# As pytree arguments the tables live on device ONCE and cross the jit
+# boundary by reference.
+jax.tree_util.register_dataclass(
+    SO3Tables,
+    data_fields=["omegas", "cdf", "score", "exp_score_norms"],
+    meta_fields=[],
+)
+jax.tree_util.register_dataclass(
+    TorusTables,
+    data_fields=["p", "score", "score_norm_table"],
+    meta_fields=[],
+)
+
+
+class Tables(NamedTuple):
+    """The (so3, torus) bundle passed through jit boundaries."""
+
+    so3: SO3Tables
+    torus: TorusTables
+
+
+def all_tables() -> "Tables":
+    return Tables(so3_tables(), torus_tables())
 
 
 # module-level lazy singletons -------------------------------------------------

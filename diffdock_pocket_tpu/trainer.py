@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from . import evaluation, graph as graphlib, sampling, training
+from . import evaluation, graph as graphlib, sampling, tables, training
 from .data import dataset as ds
 from .models.score_model import get_model
 from .pipeline import DockingPipeline, init_random_variables
@@ -107,6 +107,9 @@ class Trainer:
         self.model = get_model(model_cfg)
         base_opt = optax.adamw if args.adamw else optax.adam
         self.optimizer = optax.inject_hyperparams(base_opt)(learning_rate=args.lr)
+        # tables are device-resident ONCE and passed through the jit
+        # boundary as arguments (training.make_train_step docstring)
+        self.tbl = tables.all_tables()
         self.train_step = jax.jit(
             training.make_train_step(
                 self.model, self.optimizer, model_cfg.sigma, noise_cfg,
@@ -115,6 +118,20 @@ class Trainer:
         )
         self.eval_step = jax.jit(
             training.make_eval_step(self.model, model_cfg.sigma, noise_cfg, loss_weights)
+        )
+        # device-resident dataset (gather batches on device by index): the
+        # host<->TPU link is the scarcest resource in this deployment — a
+        # per-step host-stacked batch upload (~8 MB) dwarfs the step itself.
+        # One padded copy of every complex is staged to HBM and the jitted
+        # step gathers rows; the host sends only indices + RNG keys.
+        self._dev_groups: dict | None = None
+        self._gather_train = jax.jit(
+            lambda state, key, stacked, rows, tbl: self.train_step(
+                state, key, jax.tree.map(lambda a: a[rows], stacked), tbl)
+        )
+        self._gather_eval = jax.jit(
+            lambda params, bs, key, stacked, rows, tbl: self.eval_step(
+                params, bs, key, jax.tree.map(lambda a: a[rows], stacked), tbl)
         )
         self.scheduler = PlateauScheduler(
             mode=args.main_metric_goal, patience=args.scheduler_patience
@@ -132,7 +149,7 @@ class Trainer:
                 logger.warning("wandb requested but not installed; skipping")
 
     # ------------------------------------------------------------------
-    def _batches(self, dataset, rng=None):
+    def _complexes(self, dataset):
         # featurization is cached in memory across epochs (disk pickles back
         # the first pass; reference re-reads per epoch via the loader workers)
         cache = getattr(self, "_complex_cache", {})
@@ -140,7 +157,10 @@ class Trainer:
         if key not in cache:
             cache[key] = dataset.preprocess_all()
             self._complex_cache = cache
-        complexes = cache[key]
+        return cache[key]
+
+    def _batches(self, dataset, rng=None):
+        complexes = self._complexes(dataset)
         # each training complex appears `multiplicity` times per epoch with
         # independent noise draws (the reference parses --multiplicity and
         # stores it on PDBBind but never reads it, pdbbind.py:168 — here it
@@ -164,6 +184,86 @@ class Trainer:
             r = rng if rng is not None else np.random.default_rng(0)
             raw = dict(raw, lig_pos=confs[int(r.integers(len(confs)))])
         return graphlib.from_raw(raw)
+
+    # ---- device-resident dataset -----------------------------------------
+    # The host<->TPU link is the scarcest resource in this deployment (the
+    # chip sits behind a tunnel); host-stacking every batch re-uploads ~MBs
+    # per step.  Instead every (complex, conformer) variant is padded once,
+    # stacked per shape signature, and staged to HBM; per step the host
+    # sends a row-index vector and the jitted step gathers the batch on
+    # device.  Semantics match the host path exactly: same bucketed_batches
+    # order, same per-assembly random conformer choice.
+
+    @staticmethod
+    def _conf_variants(c):
+        confs = c.raw.get("lig_conf_pos")
+        if confs is not None and len(confs) > 1:
+            return list(confs)
+        return [c.raw["lig_pos"]]
+
+    def _device_groups_for(self, dataset):
+        """Stage `dataset` on device; returns False when disabled/over budget."""
+        if not getattr(self.args, "device_data_cache", True):
+            return False
+        cache = getattr(self, "_dev_cache", None)
+        if cache is None:
+            cache = self._dev_cache = {}
+            self._dev_rows = {}
+        key = id(dataset)
+        if key in cache:
+            return cache[key]
+        budget_mb = float(os.environ.get("DDP_TPU_DEVICE_DATA_MB", "1024"))
+        entries = []  # (cid, conf_i, padded graph)
+        for c in self._complexes(dataset):
+            for ci, pos in enumerate(self._conf_variants(c)):
+                g = graphlib.from_raw(dict(c.raw, lig_pos=pos))
+                entries.append((id(c), ci, g))
+        nbytes = sum(l.nbytes for _, _, g in entries for l in jax.tree.leaves(g))
+        if nbytes > budget_mb * 1e6:
+            logger.info(
+                "device data cache: %d entries = %.0f MB exceeds budget "
+                "%.0f MB (DDP_TPU_DEVICE_DATA_MB); using host batching",
+                len(entries), nbytes / 1e6, budget_mb)
+            cache[key] = False
+            return False
+        by_sig: dict = {}
+        for cid, ci, g in entries:
+            sig = tuple(l.shape for l in jax.tree.leaves(g))
+            by_sig.setdefault(sig, []).append((cid, ci, g))
+        groups = {}
+        for sig, items in by_sig.items():
+            stacked = jax.device_put(graphlib.stack([g for _, _, g in items]))
+            groups[sig] = stacked
+            for row, (cid, ci, _) in enumerate(items):
+                self._dev_rows[(key, cid, ci)] = (sig, row)
+        logger.info(
+            "device data cache: staged %d entries (%d shape groups, %.0f MB)",
+            len(entries), len(groups), nbytes / 1e6)
+        cache[key] = groups
+        return groups
+
+    def _device_batches(self, dataset, rng=None):
+        """Yield (stacked_group, row_indices) mirroring _batches' semantics."""
+        groups = self._device_groups_for(dataset)
+        assert groups, "caller must check _device_groups_for first"
+        dkey = id(dataset)
+        complexes = self._complexes(dataset)
+        mult = getattr(self.args, "multiplicity", 1) or 1
+        if rng is not None and mult > 1:
+            complexes = list(complexes) * mult
+        for batch in ds.bucketed_batches(
+            complexes, self.args.batch_size, shuffle_rng=rng
+        ):
+            sig = None
+            rows = []
+            for c in batch:
+                n = len(self._conf_variants(c))
+                ci = int(rng.integers(n)) if (rng is not None and n > 1) else 0
+                s, row = self._dev_rows[(dkey, id(c), ci)]
+                assert sig is None or s == sig, "mixed shapes within a bucket"
+                sig = s
+                rows.append(row)
+            yield groups[sig], jnp.asarray(rows, dtype=jnp.int32)
 
     def fit(self):
         args = self.args
@@ -206,10 +306,17 @@ class Trainer:
             # per-step device_get would serialize the async dispatch queue
             # and expose full host<->device latency on every step
             pending = []
-            for g, _ in self._batches(self.train_set, rng=rng):
-                key, sub = jax.random.split(key)
-                state, aux = self.train_step(state, sub, g)
-                pending.append(aux)
+            if self._device_groups_for(self.train_set):
+                for stacked, rows in self._device_batches(self.train_set, rng=rng):
+                    key, sub = jax.random.split(key)
+                    state, aux = self._gather_train(
+                        state, sub, stacked, rows, self.tbl)
+                    pending.append(aux)
+            else:
+                for g, _ in self._batches(self.train_set, rng=rng):
+                    key, sub = jax.random.split(key)
+                    state, aux = self.train_step(state, sub, g, self.tbl)
+                    pending.append(aux)
             for aux in jax.device_get(pending):
                 meter.add(aux)
             train_stats = meter.summary()
@@ -221,9 +328,17 @@ class Trainer:
             )
             eval_params = state.ema.params if args.use_ema else state.params
             pending = []
-            for g, _ in self._batches(self.val_set):
-                key, sub = jax.random.split(key)
-                pending.append(self.eval_step(eval_params, state.batch_stats, sub, g))
+            if self._device_groups_for(self.val_set):
+                for stacked, rows in self._device_batches(self.val_set):
+                    key, sub = jax.random.split(key)
+                    pending.append(self._gather_eval(
+                        eval_params, state.batch_stats, sub, stacked, rows,
+                        self.tbl))
+            else:
+                for g, _ in self._batches(self.val_set):
+                    key, sub = jax.random.split(key)
+                    pending.append(self.eval_step(
+                        eval_params, state.batch_stats, sub, g, self.tbl))
             for aux in jax.device_get(pending):
                 t_tr = aux.pop("t_tr")
                 val_meter.add(aux, t_tr=t_tr)

@@ -287,6 +287,18 @@ def create_train_state(variables, optimizer) -> TrainState:
     )
 
 
+def score_norms(t, sigma: SigmaConfig, so3: tables.SO3Tables,
+                torus: tables.TorusTables):
+    """Per-manifold expected score norms at the drawn times (model input)."""
+    _, s_rot, s_tor, s_sc = sigma.t_to_sigma(
+        t["tr"], t["rot"], t["tor"], t["sc_tor"])
+    return {
+        "rot": so3.score_norm(s_rot),
+        "tor": torus.score_norm(s_tor),
+        "sc_tor": torus.score_norm(s_sc),
+    }
+
+
 def make_train_step(
     model,
     optimizer,
@@ -297,30 +309,26 @@ def make_train_step(
     axis_name: Optional[str] = None,
 ):
     """Build the jitted train step: sample t, apply noise, forward, loss,
-    grads (psum over `axis_name` when running data-parallel), adam + EMA."""
-    so3 = tables.so3_tables()
-    torus = tables.torus_tables()
+    grads (psum over `axis_name` when running data-parallel), adam + EMA.
+
+    The diffusion tables are an explicit pytree ARGUMENT (`tbl`) of the
+    returned step, not a closure: closed-over table arrays get inlined into
+    the lowered HLO as literals (~430 MB per executable with the full torus
+    grids), which wrecks compile time, HBM, and remote-compile transfer."""
     inv_grids = (
         beta_ppf_grids(noise_cfg)
         if noise_cfg.asyncronous_noise_schedule else None
     )
 
-    def score_norms(t):
-        _, s_rot, s_tor, s_sc = sigma.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
-        return {
-            "rot": so3.score_norm(s_rot),
-            "tor": torus.score_norm(s_tor),
-            "sc_tor": torus.score_norm(s_sc),
-        }
-
-    def loss_fn(params, batch_stats, key, g):
+    def loss_fn(params, batch_stats, key, g, tbl: tables.Tables):
+        so3, torus = tbl.so3, tbl.torus
         k_t, k_noise, k_drop = jax.random.split(key, 3)
         B = g.lig_pos.shape[0]
         t = sample_times(k_t, B, noise_cfg, inv_grids)
         g_noised, targets = apply_noise(k_noise, g, t, sigma, so3, torus, noise_cfg)
         preds, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            g_noised, t, score_norms(t),
+            g_noised, t, score_norms(t, sigma, so3, torus),
             train=True, rngs={"dropout": k_drop}, mutable=["batch_stats"],
         )
         loss, aux = loss_function(
@@ -330,9 +338,9 @@ def make_train_step(
         )
         return loss, (aux, mutated["batch_stats"])
 
-    def train_step(state: TrainState, key, g: ComplexGraph):
+    def train_step(state: TrainState, key, g: ComplexGraph, tbl: tables.Tables):
         (loss, (aux, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, key, g
+            state.params, state.batch_stats, key, g, tbl
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -356,30 +364,24 @@ def make_train_step(
 
 def make_eval_step(model, sigma: SigmaConfig, noise_cfg: NoiseConfig,
                    loss_weights: LossWeights = LossWeights()):
-    """Validation loss step (EMA or raw params; running batch-norm stats)."""
-    so3 = tables.so3_tables()
-    torus = tables.torus_tables()
+    """Validation loss step (EMA or raw params; running batch-norm stats).
+
+    Takes the diffusion tables as an explicit argument (see make_train_step)."""
     inv_grids = (
         beta_ppf_grids(noise_cfg)
         if noise_cfg.asyncronous_noise_schedule else None
     )
 
-    def score_norms(t):
-        _, s_rot, s_tor, s_sc = sigma.t_to_sigma(t["tr"], t["rot"], t["tor"], t["sc_tor"])
-        return {
-            "rot": so3.score_norm(s_rot),
-            "tor": torus.score_norm(s_tor),
-            "sc_tor": torus.score_norm(s_sc),
-        }
-
-    def eval_step(params, batch_stats, key, g, t_override=None):
+    def eval_step(params, batch_stats, key, g, tbl: tables.Tables,
+                  t_override=None):
+        so3, torus = tbl.so3, tbl.torus
         k_t, k_noise = jax.random.split(key)
         B = g.lig_pos.shape[0]
         t = t_override if t_override is not None else sample_times(k_t, B, noise_cfg, inv_grids)
         g_noised, targets = apply_noise(k_noise, g, t, sigma, so3, torus, noise_cfg)
         preds = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            g_noised, t, score_norms(t), train=False,
+            g_noised, t, score_norms(t, sigma, so3, torus), train=False,
         )
         loss, aux = loss_function(
             preds, targets, g_noised, t, sigma, so3, torus, loss_weights,

@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from diffdock_pocket_tpu import runtime
+from diffdock_pocket_tpu import runtime, tables
 
 runtime.setup()
 
@@ -141,6 +141,7 @@ def main():
     optimizer = optax.adam(1e-3)
     step_fn = jax.jit(training.make_train_step(
         model, optimizer, CFG.sigma, training.NoiseConfig()))
+    tbl = tables.all_tables()
     batches = list(dsmod.bucketed_batches(train_cs, batch_size=len(train_cs)))
     graphs = [graphlib.stack([graphlib.from_raw(c.raw) for c in b]) for b in batches]
     print(f"{len(graphs)} bucket group(s) over {len(train_cs)} apo complexes")
@@ -151,7 +152,7 @@ def main():
     for i in range(STEPS):
         for g in graphs:
             key, sub = jax.random.split(key)
-            state, aux = step_fn(state, sub, g)
+            state, aux = step_fn(state, sub, g, tbl)
         if i % 500 == 0 or i == STEPS - 1:
             print(f"step {i:5d} loss {float(aux['loss']):.4f} ({time.time()-t0:.0f}s)")
 

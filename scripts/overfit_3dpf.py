@@ -11,7 +11,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from diffdock_pocket_tpu import runtime
+from diffdock_pocket_tpu import runtime, tables
 
 runtime.setup()
 
@@ -47,13 +47,14 @@ def main():
     )
     optimizer = optax.adam(1e-3)
     step_fn = jax.jit(training.make_train_step(model, optimizer, cfg.sigma, noise_cfg))
+    tbl = tables.all_tables()
     state = training.create_train_state(variables, optimizer)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     for i in range(STEPS):
         key, sub = jax.random.split(key)
-        state, aux = step_fn(state, sub, g)
+        state, aux = step_fn(state, sub, g, tbl)
         if i % 50 == 0 or i == STEPS - 1:
             print(f"step {i:4d} loss {float(aux['loss']):.4f} "
                   f"(tr {float(aux['tr_loss']):.3f} rot {float(aux['rot_loss']):.3f} "

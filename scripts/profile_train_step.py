@@ -10,7 +10,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from diffdock_pocket_tpu import runtime
+from diffdock_pocket_tpu import runtime, tables
 
 runtime.setup()
 
@@ -42,6 +42,7 @@ def main():
     )
     optimizer = optax.adam(1e-3)
     step_fn = jax.jit(training.make_train_step(model, optimizer, cfg.sigma, noise_cfg))
+    tbl = tables.all_tables()
 
     state = training.create_train_state(variables, optimizer)
     key = jax.random.PRNGKey(0)
@@ -49,7 +50,7 @@ def main():
     def run_once():
         nonlocal state, key
         key, sub = jax.random.split(key)
-        state, aux = step_fn(state, sub, g)
+        state, aux = step_fn(state, sub, g, tbl)
         return aux
 
     aux = run_once()

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from diffdock_pocket_tpu import graph as graphlib, sampling, training
+from diffdock_pocket_tpu import graph as graphlib, sampling, tables, training
 from diffdock_pocket_tpu.diffusion import SigmaConfig, get_inverse_schedule
 from diffdock_pocket_tpu.models.config import ModelConfig
 from diffdock_pocket_tpu.models.score_model import get_model
@@ -128,5 +128,5 @@ def test_async_model_train_step():
         model, opt, TINY_ASYNC.sigma, noise_cfg, training.LossWeights()
     ))
     state = training.create_train_state(variables, opt)
-    state, aux = step(state, jax.random.PRNGKey(0), g)
+    state, aux = step(state, jax.random.PRNGKey(0), g, tables.all_tables())
     assert np.isfinite(float(aux["loss"]))

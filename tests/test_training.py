@@ -67,9 +67,10 @@ def test_train_step_decreases_loss(batch):
     )
     # fixed key => same noise every step; loss on that fixed task must drop
     key = jax.random.PRNGKey(42)
+    tbl = tables.all_tables()
     losses = []
     for i in range(8):
-        state, aux = step(state, key, batch)
+        state, aux = step(state, key, batch, tbl)
         losses.append(float(aux["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
@@ -87,7 +88,7 @@ def test_eval_step_runs(batch):
     )
     aux = eval_step(
         variables["params"], variables.get("batch_stats", {}),
-        jax.random.PRNGKey(0), batch,
+        jax.random.PRNGKey(0), batch, tables.all_tables(),
     )
     assert aux["loss"].shape == (2,)  # unpooled per-graph losses
     assert np.all(np.isfinite(np.asarray(aux["loss"])))
@@ -245,3 +246,58 @@ def test_sc_rmsds_alignment_without_flexible_sidechains():
     acc, sc_rmsds = defaultdict(list), []
     Trainer._clash_and_sc_metrics(self, data, result, acc, sc_rmsds)
     assert len(sc_rmsds) == 1 and np.isnan(sc_rmsds[0])
+
+
+def test_device_data_cache_matches_host_batches():
+    """The device-resident dataset path (trainer._device_batches + on-device
+    row gather) must produce byte-identical batches to the host-stacked
+    path (_batches) under the same rng — including the per-assembly random
+    conformer substitution and tail-batch repetition padding."""
+    from types import SimpleNamespace
+
+    from diffdock_pocket_tpu import graph as graphlib
+    from diffdock_pocket_tpu.trainer import Trainer
+    from synthetic import make_raw_complex
+
+    complexes = []
+    for seed in range(5):
+        raw = dict(make_raw_complex(seed=seed, n_lig=12))
+        if seed % 2:  # some complexes carry multiple matched conformers
+            raw["lig_conf_pos"] = [
+                raw["lig_pos"],
+                raw["lig_pos"] + np.float32(0.25),
+                raw["lig_pos"] - np.float32(0.1),
+            ]
+        complexes.append(SimpleNamespace(raw=raw, name=f"c{seed}"))
+
+    dataset = object()
+    args = SimpleNamespace(batch_size=2, multiplicity=1, device_data_cache=True)
+
+    class BareTrainer(Trainer):
+        def __init__(self):  # skip model/optimizer setup — data paths only
+            self.args = args
+            self._complex_cache = {id(dataset): complexes}
+
+    def fresh_self():
+        return BareTrainer()
+
+    host = fresh_self()
+    dev = fresh_self()
+    host_batches = list(Trainer._batches(host, dataset, rng=np.random.default_rng(7)))
+    groups = Trainer._device_groups_for(dev, dataset)
+    assert groups, "device staging should fit the default budget"
+    dev_batches = list(Trainer._device_batches(dev, dataset, rng=np.random.default_rng(7)))
+    assert len(host_batches) == len(dev_batches)
+    for (g_host, _), (stacked, rows) in zip(host_batches, dev_batches):
+        g_dev = jax.tree.map(lambda a: a[rows], stacked)
+        for lh, ld in zip(jax.tree.leaves(g_host), jax.tree.leaves(g_dev)):
+            np.testing.assert_array_equal(np.asarray(lh), np.asarray(ld))
+
+    # budget fallback: a zero budget disables staging
+    import os as _os
+
+    _os.environ["DDP_TPU_DEVICE_DATA_MB"] = "0"
+    try:
+        assert Trainer._device_groups_for(fresh_self(), dataset) is False
+    finally:
+        del _os.environ["DDP_TPU_DEVICE_DATA_MB"]
