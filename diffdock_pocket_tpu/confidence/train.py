@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from typing import NamedTuple
+
 from .. import graph as graphlib
 from ..models.config import ModelConfig
 from ..models.score_model import get_model
@@ -120,6 +122,40 @@ def make_confidence_eval_step(model, loss_type: str = "bce",
     return step
 
 
+class _DevBatch(NamedTuple):
+    """Device-resident batch: per-complex base graphs staged in HBM once;
+    only positions (the per-pose deltas) + row indices cross the link.
+    The host<->TPU tunnel makes per-step full-graph uploads (~MB/pose) the
+    bottleneck; poses of one complex differ ONLY in lig_pos (+ atom_pos for
+    flexible side chains), ~KBs."""
+
+    stacked: object  # ComplexGraph with leading row axis (device)
+    rows: object  # [B] or [B*P] int32 row indices into `stacked`
+    lig_pos: object  # [rows, NL, 3] padded pose ligand positions
+    atom_pos: object  # [rows, NA, 3] padded pose atom positions
+
+
+def _gather_graph(stacked, rows, lig_pos, atom_pos):
+    g = jax.tree.map(lambda a: a[rows], stacked)
+    return g.replace(lig_pos=lig_pos, atom_pos=atom_pos)
+
+
+def _padded_positions(raw) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a pose's lig/atom positions exactly like graph.pad_graph_arrays
+    (FAR fill so distance ops ignore the padding before masking)."""
+    sizes = graphlib.bucket_sizes(
+        len(raw["lig_pos"]), len(raw["rec_pos"]), len(raw["atom_pos"]),
+        len(raw["tor_bond_index"]), len(raw["sc_bond_index"]),
+        len(raw["lig_bond_index"]),
+    )
+
+    def pad(x, n):
+        return np.pad(np.asarray(x, np.float32), [(0, n - len(x)), (0, 0)],
+                      constant_values=1.0e4)
+
+    return pad(raw["lig_pos"], sizes["lig"]), pad(raw["atom_pos"], sizes["atom"])
+
+
 def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     """Rank-based ROC-AUC (Mann-Whitney U)."""
     from scipy.stats import rankdata
@@ -190,6 +226,16 @@ class ConfidenceTrainer:
             confidence_loss_weight, affinity_loss_weight,
             parallel_affinity=par_aff,
         ))
+        # device-resident base graphs + position-only uploads (_DevBatch)
+        self._dev_stage: dict = {}
+        self._gather_train_step = jax.jit(
+            lambda p, bs, o, k, st, rows, lig, atom, y, aff, t:
+            self.train_step(p, bs, o, k, _gather_graph(st, rows, lig, atom),
+                            y, aff, t))
+        self._gather_eval_step = jax.jit(
+            lambda p, bs, st, rows, lig, atom, y, aff, t:
+            self.eval_step(p, bs, _gather_graph(st, rows, lig, atom),
+                           y, aff, t))
         self.transfer_params = transfer_params
         # affinity label standardization (cfg.affinity_norm): the head is
         # trained on z-scores; metrics are reported in label units
@@ -201,10 +247,55 @@ class ConfidenceTrainer:
         self.val_multiplicity = max(1, int(val_multiplicity))
         self.best = None
 
+    def _stage_device(self, data, examples):
+        """Stage one base graph per distinct complex on device (first call
+        per dataset); returns {"groups": {sig: stacked}, "rows": {...}} or
+        False (disabled / over HBM budget — host path)."""
+        key = id(data)
+        if key in self._dev_stage:
+            return self._dev_stage[key]
+        budget_mb = float(os.environ.get("DDP_TPU_DEVICE_DATA_MB", "1024"))
+        if budget_mb <= 0:
+            self._dev_stage[key] = False
+            return False
+        from ..data.dataset import bucket_key
+
+        base = {}  # name -> (sig, raw)
+        for ex in examples:
+            d0 = ex[0][0] if self.parallel > 1 else ex[0]
+            if d0.name not in base:
+                base[d0.name] = (bucket_key(d0.raw), d0.raw)
+        by_sig: dict = {}
+        for name, (sig, raw) in base.items():
+            by_sig.setdefault(sig, []).append((name, raw))
+        graphs = {sig: [graphlib.from_raw(raw) for _, raw in items]
+                  for sig, items in by_sig.items()}
+        nbytes = sum(l.nbytes for gs in graphs.values()
+                     for g in gs for l in jax.tree.leaves(g))
+        if nbytes > budget_mb * 1e6:
+            logger.info(
+                "confidence device cache: %d complexes = %.0f MB exceeds "
+                "budget %.0f MB; using host batching",
+                len(base), nbytes / 1e6, budget_mb)
+            self._dev_stage[key] = False
+            return False
+        groups, rows = {}, {}
+        for sig, items in by_sig.items():
+            groups[sig] = jax.device_put(graphlib.stack(graphs[sig]))
+            for row, (name, _) in enumerate(items):
+                rows[name] = (sig, row)
+        logger.info(
+            "confidence device cache: staged %d complexes (%d shape "
+            "groups, %.0f MB); per-step uploads are positions only",
+            len(base), len(groups), nbytes / 1e6)
+        stage = {"groups": groups, "rows": rows}
+        self._dev_stage[key] = stage
+        return stage
+
     def _batches(self, data: FilteringDataset, rng):
-        """Yield (stacked graph, labels, affinities, times) bucket-uniform
-        batches (affinity is NaN where no index entry exists; time is 0
-        except under trajectory sampling)."""
+        """Yield (graph-or-_DevBatch, labels, affinities, times)
+        bucket-uniform batches (affinity is NaN where no index entry
+        exists; time is 0 except under trajectory sampling)."""
         examples = []
         for i in range(len(data)):
             ex = data.get(i, rng)
@@ -213,11 +304,12 @@ class ConfidenceTrainer:
         # group by bucket signature
         from ..data.dataset import bucket_key
 
+        stage = self._stage_device(data, examples)
         groups = {}
         for ex in examples:
             d0 = ex[0][0] if self.parallel > 1 else ex[0]
             groups.setdefault(bucket_key(d0.raw), []).append(ex)
-        for group in groups.values():
+        for sig, group in groups.items():
             for i in range(0, len(group), self.batch_size):
                 batch = group[i : i + self.batch_size]
                 n_real = len(batch)
@@ -226,27 +318,53 @@ class ConfidenceTrainer:
                 if self.parallel > 1:
                     # one example = `parallel` consecutive graph rows of the
                     # same complex; labels [B, P], affinity/time per complex
-                    g = graphlib.stack([
-                        graphlib.from_raw(d.raw)
-                        for ds, _, _, _ in batch for d in ds
-                    ])
+                    flat = [d for ds, _, _, _ in batch for d in ds]
                     y = jnp.asarray(np.stack([y for _, y, _, _ in batch]))
-                    aff = jnp.asarray([a for _, _, a, _ in batch], jnp.float32)
                     # per-row times (B*P graph rows)
                     tvals = jnp.asarray(
                         np.repeat([t for _, _, _, t in batch], self.parallel),
                         jnp.float32,
                     )
-                    yield g, y, aff, tvals
-                    continue
                 else:
-                    g = graphlib.stack(
-                        [graphlib.from_raw(d.raw) for d, _, _, _ in batch]
-                    )
+                    flat = [d for d, _, _, _ in batch]
                     y = jnp.asarray([y for _, y, _, _ in batch])
+                    tvals = jnp.asarray([t for _, _, _, t in batch], jnp.float32)
                 aff = jnp.asarray([a for _, _, a, _ in batch], jnp.float32)
-                tvals = jnp.asarray([t for _, _, _, t in batch], jnp.float32)
+                if stage:
+                    rows = np.asarray(
+                        [stage["rows"][d.name][1] for d in flat], np.int32)
+                    pos = [_padded_positions(d.raw) for d in flat]
+                    g = _DevBatch(
+                        stacked=stage["groups"][sig],
+                        rows=jnp.asarray(rows),
+                        lig_pos=jnp.asarray(np.stack([p[0] for p in pos])),
+                        atom_pos=jnp.asarray(np.stack([p[1] for p in pos])),
+                    )
+                else:
+                    g = graphlib.stack([graphlib.from_raw(d.raw) for d in flat])
                 yield g, y, aff, tvals
+
+    def _step_train(self, params, batch_stats, opt_state, key, g, y, aff, tvals):
+        if isinstance(g, _DevBatch):
+            return self._gather_train_step(
+                params, batch_stats, opt_state, key,
+                g.stacked, g.rows, g.lig_pos, g.atom_pos, y, aff, tvals)
+        return self.train_step(
+            params, batch_stats, opt_state, key, g, y, aff, tvals)
+
+    def _step_eval(self, params, batch_stats, g, y, aff, tvals):
+        if isinstance(g, _DevBatch):
+            return self._gather_eval_step(
+                params, batch_stats,
+                g.stacked, g.rows, g.lig_pos, g.atom_pos, y, aff, tvals)
+        return self.eval_step(params, batch_stats, g, y, aff, tvals)
+
+    @staticmethod
+    def _materialize(g):
+        """A concrete ComplexGraph for shape-dependent init."""
+        if isinstance(g, _DevBatch):
+            return _gather_graph(g.stacked, g.rows, g.lig_pos, g.atom_pos)
+        return g
 
     def fit(self, n_epochs: int):
         rng = np.random.default_rng(self.seed)
@@ -263,7 +381,8 @@ class ConfidenceTrainer:
             losses, accs, aff_losses = [], [], []
             for g, y, aff, tvals in self._batches(self.train_data, rng):
                 if params is None:
-                    variables = init_random_variables(self.cfg, g, seed=self.seed)
+                    variables = init_random_variables(
+                        self.cfg, self._materialize(g), seed=self.seed)
                     params = variables["params"]
                     if self.transfer_params is not None:
                         params = _transfer_matching(params, self.transfer_params)
@@ -271,7 +390,7 @@ class ConfidenceTrainer:
                     opt_state = self.optimizer.init(params)
                 key, sub = jax.random.split(key)
                 aff_z = (aff - self.aff_mean) / self.aff_std
-                params, batch_stats, opt_state, aux = self.train_step(
+                params, batch_stats, opt_state, aux = self._step_train(
                     params, batch_stats, opt_state, sub, g, y, aff_z, tvals
                 )
                 losses.append(float(aux["loss"]))
@@ -284,7 +403,7 @@ class ConfidenceTrainer:
             for _ in range(self.val_multiplicity):
                 for g, y, aff, tvals in self._batches(self.val_data, rng):
                     aff_z = (aff - self.aff_mean) / self.aff_std
-                    loss, logits, aff_pred = self.eval_step(
+                    loss, logits, aff_pred = self._step_eval(
                         params, batch_stats, g, y, aff_z, tvals
                     )
                     val_losses.append(float(loss))
@@ -339,7 +458,7 @@ class ConfidenceTrainer:
         for _ in range(max(1, multiplicity)):
             for g, y, aff, tvals in self._batches(data, rng):
                 aff_z = (aff - self.aff_mean) / self.aff_std
-                loss, logits, _ = self.eval_step(
+                loss, logits, _ = self._step_eval(
                     params, batch_stats, g, y, aff_z, tvals
                 )
                 losses.append(float(loss))

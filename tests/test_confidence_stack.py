@@ -128,25 +128,27 @@ def test_val_multiplicity_repeats_val_pass(pose_caches, tmp_path):
         val_multiplicity=3,
     )
     calls = {"n": 0}
-    orig = trainer.eval_step
+    orig = trainer._step_eval
 
     def counting_eval(*a):
         calls["n"] += 1
         return orig(*a)
 
-    trainer.eval_step = counting_eval
+    # count the per-batch dispatcher (_step_eval) — the jitted kernels
+    # underneath only re-enter Python at trace time
+    trainer._step_eval = counting_eval
     trainer.fit(n_epochs=1)
     single = ConfidenceTrainer(
         cfg, fd, fd, run_dir=str(tmp_path / "conf_vm1"), batch_size=2,
     )
     calls1 = {"n": 0}
-    orig1 = single.eval_step
+    orig1 = single._step_eval
 
     def counting_eval1(*a):
         calls1["n"] += 1
         return orig1(*a)
 
-    single.eval_step = counting_eval1
+    single._step_eval = counting_eval1
     single.fit(n_epochs=1)
     assert calls["n"] == 3 * calls1["n"] > 0
 
