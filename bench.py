@@ -330,8 +330,12 @@ def main():
             ]
             dm_samples = int(os.environ.get("BENCH_DM_SAMPLES", "20"))
             pipe.samples_per_complex = dm_samples
-            # warmup chunk (compile reuse makes this cheap)
-            pipe.dock_many(datas[:1], jax.random.PRNGKey(2))
+            # warmup with the FULL complex list: multi-complex chunking can
+            # bucket/group differently from the single-complex path (fragment
+            # ligands land in smaller buckets), so datas[:1] would leave a
+            # compile inside the timed region (observed: 118s for what is a
+            # ~14s steady-state run).  Throughput below is steady-state.
+            pipe.dock_many(datas, jax.random.PRNGKey(2))
             t0 = time.time()
             pipe.dock_many(datas, jax.random.PRNGKey(3))
             dm_wall = time.time() - t0

@@ -201,13 +201,23 @@ def _torus_build_tables() -> dict[str, np.ndarray]:
         )
         * np.pi
     )
-    images = 2 * np.pi * np.arange(-_TORUS_IMAGE_N, _TORUS_IMAGE_N + 1)
 
     p = np.empty((TORUS_SIGMA_N + 1, TORUS_X_N + 1), dtype=np.float64)
     grad = np.empty_like(p)
     chunk = 256
     for s0 in range(0, len(sigma), chunk):
-        sg = sigma[s0 : s0 + chunk][:, None, None]  # [C,1,1]
+        sg_chunk = sigma[s0 : s0 + chunk]
+        sg = sg_chunk[:, None, None]  # [C,1,1]
+        # Adaptive image truncation: the k-th periodic copy contributes at
+        # least exp(-(2*pi*k - pi)^2 / 2 sigma^2); beyond |xx| > 20 sigma the
+        # term is < e^-200 ~ 1e-87, negligible against every representable
+        # p (stored as float32).  sigma is ascending, so the chunk max bounds
+        # the needed copies — 1 image for small sigma vs the fixed +-100 of
+        # the dense reference sum, cutting cold-start table generation from
+        # ~20 min to seconds on a 1-core host at identical (f32) values.
+        k_max = int(np.ceil((20.0 * sg_chunk[-1] + np.pi) / (2 * np.pi)))
+        k_max = min(k_max, _TORUS_IMAGE_N)
+        images = 2 * np.pi * np.arange(-k_max, k_max + 1)
         xx = x[None, :, None] + images[None, None, :]  # [1,X,I]
         with np.errstate(under="ignore"):
             e = np.exp(-(xx**2) / 2 / sg**2)
