@@ -82,6 +82,120 @@ def _enable_persistent_cache_on_axon() -> None:
     cc._axon_whitelist_patch = True
 
 
+# ---------------------------------------------------------------------------
+# Compile-lottery mitigation: absolute step-time targets + cache eviction.
+#
+# XLA's TPU compile of the sampler scan is a lottery across compiles (same
+# program, step times 146/172/410 ms — BASELINE.md).  The round-3 mitigation
+# validated a draw only by the step/fwd RATIO, which accepts the ~172 ms
+# "mediocre" draw and can pin it into the persistent cache forever (ADVICE
+# r3).  These helpers give every entry point a shared, self-calibrating
+# ABSOLUTE target instead: the best step time ever measured for a given
+# executable signature is persisted; a draw is acceptable only within
+# `tolerance` of that best, and beating the best updates the record.
+# ---------------------------------------------------------------------------
+
+
+def _targets_file() -> str:
+    return os.environ.get(
+        "DDP_TPU_STEP_TARGETS",
+        os.path.abspath(
+            os.path.join(os.path.dirname(__file__), os.pardir,
+                         "results", "step_targets.json")),
+    )
+
+
+def _load_targets() -> dict:
+    import json
+
+    try:
+        with open(_targets_file()) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def record_step_time(sig: str, ms: float) -> float:
+    """Record a measured per-step time for executable signature ``sig``;
+    keeps the minimum ever seen.  Returns the current best."""
+    import json
+
+    targets = _load_targets()
+    best = targets.get(sig)
+    if best is None or ms < best:
+        targets[sig] = best = round(float(ms), 3)
+        path = _targets_file()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(targets, fh, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    return best
+
+
+def step_time_ok(sig: str, ms: float, tolerance: float = 1.15):
+    """(ok, best_ms): is ``ms`` within ``tolerance`` of the best recorded
+    step time for this signature?  ok=True when no record exists yet (the
+    caller should then record_step_time to calibrate)."""
+    best = _load_targets().get(sig)
+    if best is None:
+        return True, None
+    return ms <= tolerance * best, best
+
+
+def evict_compile_caches(newer_than: float | None = None) -> int:
+    """Re-roll the XLA schedule lottery: drop persistent-cache entries
+    (all of them, or only files created after ``newer_than`` — used to
+    evict just the executables a failed validation compiled) and clear the
+    in-memory jit caches.  Returns the number of files removed."""
+    import jax
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    n = 0
+    try:
+        for f in os.listdir(cache_dir):
+            p = os.path.join(cache_dir, f)
+            if not os.path.isfile(p):
+                continue
+            if newer_than is not None and os.path.getmtime(p) <= newer_than:
+                continue
+            os.remove(p)
+            n += 1
+    except OSError:
+        pass
+    jax.clear_caches()
+    return n
+
+
+def steady_state_guard(sig: str, step_ms: float, tolerance: float = 1.5,
+                       reroll_allowed: bool = True) -> bool:
+    """Per-epoch steady-state throughput check (training runs have no
+    retry path of their own — BASELINE.md compile lottery).  Compares the
+    measured per-step time against the best recorded for ``sig``; a clean
+    epoch updates the record, a pathological one logs a visible warning
+    and (if ``reroll_allowed`` and DDP_TPU_RECOMPILE_ON_SLOW != 0) evicts
+    the compile caches so the caller's next jit re-rolls the lottery.
+    Returns True iff an eviction was performed."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    ok, target = step_time_ok(sig, step_ms, tolerance=tolerance)
+    if ok:
+        record_step_time(sig, step_ms)
+        return False
+    log.warning(
+        "steady-state guard: %.0f ms/step vs best recorded %.0f ms (%s) — "
+        "pathological compile draw", step_ms, target, sig)
+    if reroll_allowed and os.environ.get(
+            "DDP_TPU_RECOMPILE_ON_SLOW", "1") != "0":
+        n = evict_compile_caches()
+        log.warning(
+            "steady-state guard: evicted %d cache entries; the next jit "
+            "recompiles", n)
+        return True
+    return False
+
+
 def profile(trace_dir: str | None = None):
     """First-class tracing/profiling hook (the reference has none —
     SURVEY.md §5): context manager wrapping jax.profiler.trace.  Enable

@@ -209,7 +209,7 @@ def _torus_build_tables() -> dict[str, np.ndarray]:
         sg_chunk = sigma[s0 : s0 + chunk]
         sg = sg_chunk[:, None, None]  # [C,1,1]
         # Adaptive image truncation: the k-th periodic copy contributes at
-        # least exp(-(2*pi*k - pi)^2 / 2 sigma^2); beyond |xx| > 20 sigma the
+        # most exp(-(2*pi*k - pi)^2 / 2 sigma^2); beyond |xx| > 20 sigma the
         # term is < e^-200 ~ 1e-87, negligible against every representable
         # p (stored as float32).  sigma is ascending, so the chunk max bounds
         # the needed copies — 1 image for small sigma vs the fixed +-100 of

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from . import evaluation, graph as graphlib, sampling, tables, training
+from . import evaluation, graph as graphlib, runtime, sampling, tables, training
 from .data import dataset as ds
 from .models.score_model import get_model
 from .pipeline import DockingPipeline, init_random_variables
@@ -298,6 +298,19 @@ class Trainer:
                 self._lr = restart_lr
                 logger.info("restart_lr: optimizer lr overwritten to %g", restart_lr)
 
+        # steady-state throughput guard (compile-lottery, BASELINE.md): the
+        # pathological executable draw makes training silently ~2.7x slower
+        # for the whole run.  Compare each epoch's per-step time against the
+        # best ever recorded for this configuration (runtime.step_time_ok);
+        # a pathological epoch logs a visible warning and (unless
+        # DDP_TPU_RECOMPILE_ON_SLOW=0) evicts the compile caches once so the
+        # next epoch re-rolls the lottery.
+        train_sig = (
+            f"train:{jax.devices()[0].device_kind.replace(' ', '')}"
+            f":ns{self.model_cfg.ns}_nv{self.model_cfg.nv}"
+            f"_l{self.model_cfg.num_conv_layers}:b{args.batch_size}"
+        )
+        rerolled = False
         for epoch in range(args.n_epochs):
             t0 = time.time()
             meter = AverageMeter(["loss", "tr_loss", "rot_loss", "tor_loss", "sc_tor_loss"])
@@ -320,6 +333,11 @@ class Trainer:
             for aux in jax.device_get(pending):
                 meter.add(aux)
             train_stats = meter.summary()
+            if epoch >= 1 and pending:  # epoch 0 wall includes the compile
+                step_ms = (time.time() - t0) / len(pending) * 1e3
+                if runtime.steady_state_guard(
+                        train_sig, step_ms, reroll_allowed=not rerolled):
+                    rerolled = True  # one re-roll per run
 
             # ---- validation loss (EMA weights) ---------------------------
             val_meter = AverageMeter(

@@ -28,3 +28,9 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+# keep the steady-state-guard step-time records (runtime.record_step_time)
+# out of the repo's committed results/ during test runs
+os.environ.setdefault(
+    "DDP_TPU_STEP_TARGETS", "/tmp/ddp_tpu_test_step_targets.json"
+)

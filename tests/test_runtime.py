@@ -72,3 +72,65 @@ def test_patch_is_idempotent():
     fn1 = cc.is_cache_used
     runtime._enable_persistent_cache_on_axon()
     assert cc.is_cache_used is fn1  # not re-wrapped
+
+
+# ---------------------------------------------------------------------------
+# round-4: absolute step-time targets + steady-state guard
+# ---------------------------------------------------------------------------
+import os
+
+
+def _isolate_targets(tmp_path, monkeypatch):
+    monkeypatch.setenv(
+        "DDP_TPU_STEP_TARGETS", str(tmp_path / "targets.json"))
+
+
+def test_step_targets_record_and_check(tmp_path, monkeypatch):
+    _isolate_targets(tmp_path, monkeypatch)
+    ok, best = runtime.step_time_ok("sig_a", 100.0)
+    assert ok and best is None  # no record yet -> calibrating
+    assert runtime.record_step_time("sig_a", 100.0) == 100.0
+    ok, best = runtime.step_time_ok("sig_a", 110.0)  # within 15%
+    assert ok and best == 100.0
+    ok, _ = runtime.step_time_ok("sig_a", 120.0)  # 20% over
+    assert not ok
+    # beating the record updates it
+    assert runtime.record_step_time("sig_a", 80.0) == 80.0
+    ok, _ = runtime.step_time_ok("sig_a", 100.0)
+    assert not ok
+    # independent signatures don't interact
+    ok, best = runtime.step_time_ok("sig_b", 9999.0)
+    assert ok and best is None
+
+
+def test_steady_state_guard_rerolls_on_slow_epoch(tmp_path, monkeypatch):
+    _isolate_targets(tmp_path, monkeypatch)
+    evictions = []
+    monkeypatch.setattr(
+        runtime, "evict_compile_caches", lambda *a, **k: evictions.append(1) or 3)
+    # calibration epoch: records, no reroll
+    assert runtime.steady_state_guard("t_sig", 200.0) is False
+    assert not evictions
+    # clean epoch within tolerance (1.5x): records-if-better, no reroll
+    assert runtime.steady_state_guard("t_sig", 250.0) is False
+    assert not evictions
+    # pathological epoch (>1.5x best): evicts once
+    assert runtime.steady_state_guard("t_sig", 600.0) is True
+    assert len(evictions) == 1
+    # reroll_allowed=False (trainer only re-rolls once per run): no eviction
+    assert runtime.steady_state_guard(
+        "t_sig", 600.0, reroll_allowed=False) is False
+    assert len(evictions) == 1
+    # DDP_TPU_RECOMPILE_ON_SLOW=0 disables eviction entirely
+    monkeypatch.setenv("DDP_TPU_RECOMPILE_ON_SLOW", "0")
+    assert runtime.steady_state_guard("t_sig", 600.0) is False
+    assert len(evictions) == 1
+
+
+def test_corrupt_targets_file_is_tolerated(tmp_path, monkeypatch):
+    _isolate_targets(tmp_path, monkeypatch)
+    with open(os.environ["DDP_TPU_STEP_TARGETS"], "w") as fh:
+        fh.write("{not json")
+    ok, best = runtime.step_time_ok("x", 1.0)
+    assert ok and best is None
+    assert runtime.record_step_time("x", 5.0) == 5.0
