@@ -631,13 +631,31 @@ class AllAtomScoreModel(nn.Module):
                     elif agg == "min":
                         aggs.append(feats.min(axis=1))
                     elif agg == "std":
-                        aggs.append(feats.std(axis=1))
+                        # sqrt(var)+eps form: plain .std has a NaN gradient
+                        # when the P pose replicas happen to be identical
+                        # (duplicate poses occur when a complex has fewer
+                        # generated poses than `parallel`)
+                        aggs.append(jnp.sqrt(feats.var(axis=1) + 1e-8))
                 aff_in = jnp.concatenate(aggs, axis=-1)
                 ha = aff_in
                 for f in (ns, ns):
                     ha = nn.Dense(f)(ha)
                     if not cfg.confidence_no_batchnorm:
-                        ha = nn.BatchNorm(use_running_average=ura, momentum=0.9)(ha)
+                        # LayerNorm, NOT BatchNorm (deviation from reference
+                        # all_atom_score_model.py:148-159 BatchNorm1d): this
+                        # head's batch axis is B/parallel COMPLEXES (2 at the
+                        # journey batch size), and its inputs are cross-pose
+                        # aggregates whose per-feature batch variance
+                        # collapses when the sampler's poses converge (std
+                        # aggregator ~ 0 for every complex).  BatchNorm then
+                        # degenerates: train mode normalizes 2-sample batches
+                        # to exactly +-1 while the running variance decays
+                        # toward 0, so eval mode amplifies by
+                        # rsqrt(var+eps) ~ 300 per layer (observed: val
+                        # affinity MSE ~1e9 with train z-loss ~0.9).
+                        # LayerNorm is batch-size independent and has no
+                        # train/eval statistics gap.
+                        ha = nn.LayerNorm()(ha)
                     ha = nn.relu(ha)
                     ha = nn.Dropout(cfg.confidence_dropout)(ha, deterministic=det)
                 affinity = nn.Dense(1)(ha)[..., 0]

@@ -573,22 +573,41 @@ class Trainer:
     def _checkpoint(self, state, metrics, epoch):
         """best-per-criterion + last (reference train.py:101-141)."""
         criteria = {
-            "best_model": ("val_loss", "min"),
-            "best_inference_epoch_model": ("valinf_rmsds_lt2", "max"),
-            "best_sc_tor_model": ("val_sc_tor_loss", "min"),
-            "best_sc_rmsd_model": ("valinf_mean_sc_rmsd", "min"),
+            "best_model": ("val_loss", "min", None),
+            # tie-break: valinf_rmsds_lt2 saturates at 1.0 on small val sets
+            # (e.g. the 45-complex corpus), after which a strict comparison
+            # would freeze this checkpoint at the FIRST saturating epoch —
+            # whose side-chain head is typically still undertrained (round-3
+            # corpus journey: top-1 sc<1A only 33%).  Among ties, prefer the
+            # epoch with the better side-chain RMSD (falls back to mean
+            # ligand RMSD for rigid runs).
+            "best_inference_epoch_model": (
+                "valinf_rmsds_lt2", "max",
+                ("valinf_mean_sc_rmsd", "valinf_mean_rmsd")),
+            "best_sc_tor_model": ("val_sc_tor_loss", "min", None),
+            "best_sc_rmsd_model": ("valinf_mean_sc_rmsd", "min", None),
             # the reference selects on the side-chain-vs-ligand family
             # (train.py:124-127 valinf_rec_sc_lig_steric_clashes)
-            "best_steric_clash_model": ("valinf_rec_sc_lig_steric_clashes", "min"),
+            "best_steric_clash_model": (
+                "valinf_rec_sc_lig_steric_clashes", "min", None),
         }
-        for name, (metric, goal) in criteria.items():
+        for name, (metric, goal, tiebreaks) in criteria.items():
             if metric not in metrics:
                 continue
             v = metrics[metric]
+            tb = None
+            for tb_metric in (tiebreaks or ()):
+                if tb_metric in metrics:
+                    tb = metrics[tb_metric]  # lower is better for both
+                    break
             prev = self.best.get(name)
-            better = prev is None or (v > prev if goal == "max" else v < prev)
+            prev_v, prev_tb = prev if isinstance(prev, tuple) else (prev, None)
+            better = prev is None or (v > prev_v if goal == "max" else v < prev_v)
+            if (not better and v == prev_v and tb is not None
+                    and (prev_tb is None or tb < prev_tb)):
+                better = True
             if better:
-                self.best[name] = v
+                self.best[name] = (v, tb)
                 # checkpoints are full variable trees (params + batch_stats),
                 # loadable directly by the inference CLI; EMA variants use the
                 # reference naming (best_ema_inference_epoch_model, ...)

@@ -258,3 +258,57 @@ def test_fused_model_wiring_interpret(monkeypatch):
         for a, b in zip(got, ref):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
+def test_affinity_head_eval_stable_with_degenerate_pose_batches():
+    """Round-4 regression: with `parallel` near-identical pose replicas and
+    tiny complex batches (B/parallel = 2), the affinity head must not
+    develop a train/eval statistics gap (the BatchNorm design inherited
+    from the reference collapsed its running variance here — val affinity
+    MSE ~1e9 while train z-loss ~0.9; the head now uses LayerNorm) and the
+    std aggregator must have finite gradients even for IDENTICAL replicas."""
+    import optax
+
+    cfg = dataclasses.replace(
+        BASE, all_atoms=True, flexible_sidechains=True, confidence_mode=True,
+        affinity_prediction=True, parallel=2,
+    )
+    model = get_model(cfg)
+    P, nC = 2, 2
+    base = [make_graph(seed=i) for i in range(nC)]
+    # IDENTICAL replicas: the worst case for the std aggregator
+    g = graphlib.stack([b for b in base for _ in range(P)])
+    t = _times(nC * P, 0.0)
+    v = model.init(jax.random.PRNGKey(0), g, t, None)
+    params, batch_stats = v["params"], v.get("batch_stats", {})
+    aff_true = jnp.asarray([0.5, -0.5])
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, key):
+        def loss_fn(p):
+            (filt, ap), mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, g, t, None,
+                train=True, rngs={"dropout": key}, mutable=["batch_stats"])
+            return jnp.mean((ap - aff_true) ** 2), mut["batch_stats"]
+        (l, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, upd), bs, opt_state, l, grads
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(25):
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, l, grads = step(
+            params, batch_stats, opt_state, sub)
+    assert np.isfinite(float(l)), "train loss NaN'd on identical replicas"
+    for leaf in jax.tree.leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    _, ap_eval = model.apply({"params": params, "batch_stats": batch_stats},
+                             g, t, None, train=False)
+    ap_eval = np.asarray(ap_eval)
+    assert np.all(np.isfinite(ap_eval))
+    # z-space labels are O(1); a statistics-gap blowup lands at 1e3-1e5
+    assert np.max(np.abs(ap_eval)) < 50.0, ap_eval

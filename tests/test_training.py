@@ -1,4 +1,5 @@
 """Training-engine tests: noise transform targets, loss, train-step descent."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -301,3 +302,51 @@ def test_device_data_cache_matches_host_batches():
         assert Trainer._device_groups_for(fresh_self(), dataset) is False
     finally:
         del _os.environ["DDP_TPU_DEVICE_DATA_MB"]
+
+
+def test_checkpoint_tiebreak_on_saturated_lt2(tmp_path, monkeypatch):
+    """valinf_rmsds_lt2 saturates at 1.0 on small val sets; among ties the
+    inference checkpoint must follow the better side-chain RMSD (round-3
+    corpus journey docked with a frozen early checkpoint otherwise)."""
+    from types import SimpleNamespace
+
+    from diffdock_pocket_tpu import trainer as trainer_mod
+    from diffdock_pocket_tpu.trainer import Trainer
+
+    saved = []
+    monkeypatch.setattr(
+        trainer_mod.ckpt, "save_checkpoint",
+        lambda path, state: saved.append(os.path.basename(path)))
+
+    t = SimpleNamespace(
+        run_dir=str(tmp_path), best={},
+        args=SimpleNamespace(use_ema=False, checkpoint_freq=1000, n_epochs=1000),
+    )
+    state = SimpleNamespace(params={}, batch_stats={})
+
+    # epoch 1: lt2 saturates with mediocre sc
+    Trainer._checkpoint(t, state, {"valinf_rmsds_lt2": 1.0,
+                                   "valinf_mean_sc_rmsd": 1.4}, 0)
+    assert "best_inference_epoch_model" in saved
+    saved.clear()
+    # epoch 2: same lt2, worse sc -> no update
+    Trainer._checkpoint(t, state, {"valinf_rmsds_lt2": 1.0,
+                                   "valinf_mean_sc_rmsd": 1.6}, 1)
+    assert "best_inference_epoch_model" not in saved
+    # epoch 3: same lt2, better sc -> tie-break updates the checkpoint
+    Trainer._checkpoint(t, state, {"valinf_rmsds_lt2": 1.0,
+                                   "valinf_mean_sc_rmsd": 0.9}, 2)
+    assert "best_inference_epoch_model" in saved
+    saved.clear()
+    # epoch 4: lt2 regression is never accepted, whatever the sc
+    Trainer._checkpoint(t, state, {"valinf_rmsds_lt2": 0.9,
+                                   "valinf_mean_sc_rmsd": 0.1}, 3)
+    assert "best_inference_epoch_model" not in saved
+    # rigid runs tie-break on mean ligand RMSD instead
+    t2 = SimpleNamespace(run_dir=str(tmp_path), best={}, args=t.args)
+    Trainer._checkpoint(t2, state, {"valinf_rmsds_lt2": 1.0,
+                                    "valinf_mean_rmsd": 1.0}, 0)
+    saved.clear()
+    Trainer._checkpoint(t2, state, {"valinf_rmsds_lt2": 1.0,
+                                    "valinf_mean_rmsd": 0.5}, 1)
+    assert "best_inference_epoch_model" in saved
