@@ -167,6 +167,59 @@ def evict_compile_caches(newer_than: float | None = None) -> int:
     return n
 
 
+def snapshot_compile_cache(tag: str = "best") -> int:
+    """Copy the persistent compile cache aside (``<cache_dir>_<tag>``).
+
+    The validate-and-pin loop re-rolls the XLA schedule lottery by evicting
+    the cache and recompiling — which also destroys the fast executable a
+    previous draw produced (round-4: exploration left the cache holding the
+    LAST draw, so every later cold process was served a mediocre ~170 ms
+    schedule instead of the measured-fast 147 ms one).  Snapshotting after
+    a best-so-far draw and restoring at the end makes the cache
+    deterministically serve the fastest validated executable.  Returns the
+    number of files snapshotted."""
+    import shutil
+
+    import jax
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    snap = f"{cache_dir.rstrip(os.sep)}_{tag}"
+    shutil.rmtree(snap, ignore_errors=True)
+    os.makedirs(snap, exist_ok=True)
+    n = 0
+    try:
+        for f in os.listdir(cache_dir):
+            p = os.path.join(cache_dir, f)
+            if os.path.isfile(p):
+                shutil.copy2(p, os.path.join(snap, f))
+                n += 1
+    except OSError:
+        pass
+    return n
+
+
+def restore_compile_cache(tag: str = "best") -> int:
+    """Replace the persistent compile cache with a snapshot taken by
+    snapshot_compile_cache (no-op when the snapshot does not exist).
+    Returns the number of files restored, or -1 when no snapshot exists."""
+    import shutil
+
+    import jax
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    snap = f"{cache_dir.rstrip(os.sep)}_{tag}"
+    if not os.path.isdir(snap):
+        return -1
+    evict_compile_caches()
+    n = 0
+    for f in os.listdir(snap):
+        p = os.path.join(snap, f)
+        if os.path.isfile(p):
+            shutil.copy2(p, os.path.join(cache_dir, f))
+            n += 1
+    return n
+
+
 def steady_state_guard(sig: str, step_ms: float, tolerance: float = 1.5,
                        reroll_allowed: bool = True) -> bool:
     """Per-epoch steady-state throughput check (training runs have no

@@ -102,6 +102,10 @@ def get_parser():
     p.add_argument("--multiplicity_test", type=int, default=1,
                    help="repeat the test pass this many times with fresh "
                         "pose draws")
+    p.add_argument("--prepare_dataset_only", action="store_true",
+                   help="featurize the base datasets into the cache and "
+                        "exit (CPU-bound; lets the cache warm while the "
+                        "chip serves another job)")
     p.add_argument("--val_multiplicity", type=int, default=1,
                    help="repeat the per-epoch val pass this many times with "
                         "fresh pose draws (stabilises val_roc_auc / "
@@ -201,6 +205,12 @@ def main():
                                   esm_embeddings=esm_embeddings)
     val_set = ds.DockingDataset(df_val, data_cfg, cache_dir=args.cache_path,
                                 esm_embeddings=esm_embeddings)
+
+    if args.prepare_dataset_only:
+        logging.info("prepare_dataset_only: %d train / %d val complexes "
+                     "featurized into %s", len(train_set), len(val_set),
+                     args.cache_path)
+        return
 
     pipe = DockingPipeline(
         model_cfg=score_cfg,

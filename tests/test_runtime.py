@@ -134,3 +134,33 @@ def test_corrupt_targets_file_is_tolerated(tmp_path, monkeypatch):
     ok, best = runtime.step_time_ok("x", 1.0)
     assert ok and best is None
     assert runtime.record_step_time("x", 5.0) == 5.0
+
+
+def test_snapshot_and_restore_compile_cache(tmp_path, monkeypatch):
+    """snapshot after a best draw + restore at the end must leave the cache
+    holding exactly the snapshotted entries (the fast executable), not
+    whatever the last lottery draw produced."""
+    import jax
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    monkeypatch.setattr(
+        runtime, "evict_compile_caches",
+        lambda *a, **k: [p.unlink() for p in cache.iterdir() if p.is_file()])
+
+    (cache / "fast_exec").write_bytes(b"FAST")
+    n = runtime.snapshot_compile_cache(tag="t")
+    assert n == 1
+    # a re-roll evicts the cache and compiles a slow executable
+    (cache / "fast_exec").unlink()
+    (cache / "slow_exec").write_bytes(b"SLOW")
+    n = runtime.restore_compile_cache(tag="t")
+    assert n == 1
+    assert (cache / "fast_exec").read_bytes() == b"FAST"
+    assert not (cache / "slow_exec").exists()
+    # restoring a missing snapshot is a no-op
+    assert runtime.restore_compile_cache(tag="nope") == -1
+    assert (cache / "fast_exec").exists()
+    jax.config.update("jax_compilation_cache_dir", prev)

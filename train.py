@@ -172,6 +172,10 @@ def parse_train_args(argv=None):
     p.add_argument("--main_metric", type=str, default="valinf_rmsds_lt2")
     p.add_argument("--main_metric_goal", type=str, default="max")
     p.add_argument("--n_devices", type=int, default=1)
+    # featurization is CPU-bound; this lets it run (DDP_TPU_PLATFORM=cpu)
+    # while the chip serves another job — the config-hashed cache is then
+    # warm for the real training run
+    p.add_argument("--prepare_dataset_only", action="store_true")
     args = p.parse_args(argv)
 
     if args.flexible_sidechains and not args.all_atoms:
@@ -308,6 +312,12 @@ def main():
     )
     val_set = ds.DockingDataset(df_val, data_cfg, cache_dir=args.cache_path,
                                 esm_embeddings=esm_embeddings)
+
+    if args.prepare_dataset_only:
+        logging.info("prepare_dataset_only: %d train / %d val complexes "
+                     "featurized into %s", len(train_set), len(val_set),
+                     args.cache_path)
+        return
 
     trainer = Trainer(args, model_cfg, noise_cfg, weights, train_set, val_set)
     trainer.fit()
