@@ -55,6 +55,15 @@ if [ ! -d $W/conf/best_model ]; then
         --n_epochs 0 --log_dir $W --run_name conf_seed || true
     fi
   done
+  # sc cutoff: measured, not guessed — the tightest of {1.0, 1.5, 2.0}
+  # whose train positive rate (rmsd<2 AND sc_rmsd<c) is >= 10%.  Round 3
+  # hardcoded 2.0 because the then-score-model rarely sampled sc_rmsd<1
+  # (pos rate ~1%); a better sc head should re-tighten this automatically
+  # so the confidence ranking actually prefers sub-angstrom side chains.
+  SC_CUT=$(python scripts/pose_cache_stats.py \
+    $C/cache_filtering/poses/train/poses_id*.pkl \
+    $C/cache_filtering/poses/val/poses_id*.pkl | tee /dev/stderr | tail -1)
+  echo "=== stage 2: sc_rmsd_classification_cutoff = $SC_CUT ==="
   bash scripts/run_watchdog.sh python filtering_train.py \
     --original_model_dir $W/score --ckpt best_ema_inference_epoch_model \
     --protein_ligand_csv $C/conf_train.csv \
@@ -62,10 +71,7 @@ if [ ! -d $W/conf/best_model ]; then
     --cache_path $C/cache_filtering \
     --samples_per_complex $GEN_SPC --inference_steps 20 \
     --cache_ids_to_combine 1 2 --balance \
-    `# sc cutoff 2.0 (not the reference 1.0 default): at this corpus scale` \
-    `# generated poses rarely reach sc_rmsd<1 (pos rate 1%), which starves` \
-    `# the labels; at 2.0 the positive rate is ~23%/20% train/val` \
-    --sc_rmsd_classification_cutoff 2.0 --val_multiplicity 8 \
+    --sc_rmsd_classification_cutoff $SC_CUT --val_multiplicity 8 \
     --n_epochs $CONF_EPOCHS --batch_size 16 --lr 3e-4 \
     --main_metric val_roc_auc --main_metric_goal max \
     --log_dir $W --run_name conf
