@@ -158,6 +158,7 @@ def main():
     per_complex_min_cross = []
     per_complex_min_self = []
     sc_rmsds_top1 = []
+    sc_rmsds_best = []
     clash_counts_top1 = []
     names = []
 
@@ -229,6 +230,22 @@ def main():
                 )
                 if sc is not None:
                     sc_rmsds_top1.append((len(names) - 1, sc))
+                # best-sample sc-RMSD over ALL ranked poses (each rank has
+                # its own receptor): separates "the sampler can't reach
+                # sc<1" from "the confidence ranking doesn't pick it"
+                sc_all = []
+                for rank, _conf, _path in poses:
+                    rp = os.path.join(cdir, f"rank{rank}_protein.pdb")
+                    if not os.path.exists(rp):
+                        continue
+                    s_k = sidechain_rmsd(
+                        parse_pdb(rp), str(row["experimental_protein"]),
+                        os.path.join(cdir, "flexible_residues.txt"),
+                    )
+                    if s_k is not None:
+                        sc_all.append(s_k)
+                if sc_all:
+                    sc_rmsds_best.append((len(names) - 1, float(min(sc_all))))
 
     def summarize(keep):
         """Metric block over the complexes whose index passes ``keep``."""
@@ -264,6 +281,11 @@ def main():
             s["top1_sc_rmsd_below_05"] = float(np.mean(sc < 0.5))
             s["top1_sc_rmsd_below_1"] = float(np.mean(sc < 1.0))
             s["mean_sidechain_rmsd"] = float(sc.mean())
+        sc_b = np.asarray([v for i, v in sc_rmsds_best if keep(i)])
+        if len(sc_b):
+            s["best_sc_rmsd_below_05"] = float(np.mean(sc_b < 0.5))
+            s["best_sc_rmsd_below_1"] = float(np.mean(sc_b < 1.0))
+            s["mean_best_sidechain_rmsd"] = float(sc_b.mean())
         return s
 
     summary = summarize(lambda i: True)

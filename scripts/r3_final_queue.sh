@@ -23,6 +23,9 @@ set -x
 cd "$(dirname "$0")/.."
 
 wait_chip_free() {
+  # bounded: fall through with a warning after 2h rather than spinning
+  # forever (ADVICE r3: an unbounded wait can produce zero artifacts)
+  local deadline=$(( $(date +%s) + 7200 ))
   while true; do
     busy=0
     for d in /proc/[0-9]*; do
@@ -34,12 +37,27 @@ wait_chip_free() {
       esac
     done
     [ "$busy" = 0 ] && return 0
+    if [ "$(date +%s)" -gt "$deadline" ]; then
+      echo "wait_chip_free: 2h deadline passed; proceeding anyway" >&2
+      return 0
+    fi
     echo "chip busy (driver bench/entry check); deferring..."
     sleep 60
   done
 }
 
-while ! ss -tln 2>/dev/null | grep -q ":8082 "; do sleep 30; done
+# bounded tunnel wait (requires ss; if absent, warn and proceed — the
+# watchdog-wrapped stages fail fast on their own)
+tunnel_deadline=$(( $(date +%s) + 3600 ))
+if command -v ss >/dev/null 2>&1; then
+  while ! ss -tln 2>/dev/null | grep -q ":8082 "; do
+    [ "$(date +%s)" -gt "$tunnel_deadline" ] && {
+      echo "tunnel wait: 1h deadline passed; proceeding" >&2; break; }
+    sleep 30
+  done
+else
+  echo "tunnel wait: ss not available; proceeding" >&2
+fi
 wait_chip_free
 
 echo "=== 1. bench default (pin fast executable) ==="
