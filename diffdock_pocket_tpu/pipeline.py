@@ -129,6 +129,37 @@ class DockingPipeline:
         }
         self._run_jit = jax.jit(self._run_batch)
         self._conf_jit = jax.jit(self._run_confidence) if self.confidence_model else None
+        # step-loop mode: jit ONE reverse step and dispatch it
+        # inference_steps times from the host instead of compiling the
+        # whole lax.scan.  XLA's TPU compile of the 20-step scan is a
+        # schedule lottery (~146-410 ms/step for the same program,
+        # BASELINE.md) while the step body alone compiles consistently;
+        # dispatch is async, so the host loop adds only queueing time.
+        # Opt-in via SamplerConfig.step_loop or DDP_TPU_SAMPLER_LOOP=1.
+        import os as _os
+
+        env_loop = _os.environ.get("DDP_TPU_SAMPLER_LOOP")
+        self._step_loop = (
+            env_loop == "1" if env_loop in ("0", "1")
+            else bool(getattr(sampler_cfg, "step_loop", True)))
+        self._sched_keys, self._t_all, self._dt_all, self._is_last = (
+            sampling.reverse_schedule_arrays(
+                self.schedule, self.schedule_next, sampler_cfg.inference_steps))
+        # host-resident schedule rows for the step loop: eager jnp indexing
+        # (t_all[i]) compiles one tiny executable PER INDEX CONSTANT, which
+        # costs seconds each over the axon remote-compile tunnel (measured:
+        # 386 s warmup, ~530 extra cache entries); numpy rows dispatch with
+        # zero device compiles
+        self._t_np = np.asarray(self._t_all)
+        self._dt_np = np.asarray(self._dt_all)
+        self._is_last_np = np.asarray(self._is_last)
+        self._sched_rows = None  # device-staged on first _run_loop call
+        self._rand_jit = jax.jit(self._randomize)
+        self._step_jit = jax.jit(self._step_call)
+        self._step_early_jit = (
+            jax.jit(self._step_call_early) if self.skip_model is not None else None)
+        self._run = self._run_loop if self._step_loop else (
+            lambda key, g, variables: self._run_jit(key, g, variables))
 
     # ------------------------------------------------------------------
     def _score_norms(self, t):
@@ -164,6 +195,59 @@ class DockingPipeline:
             score_fn_early=score_fn_early,
         )
 
+    def _randomize(self, key, g):
+        return sampling.randomize_position(
+            key, g, self.model_cfg.sigma,
+            no_torsion=self.sampler_cfg.no_torsion,
+            no_random=self.sampler_cfg.no_random,
+            flexible_sidechains=self.sampler_cfg.flexible_sidechains,
+        )
+
+    def _step_call(self, carry, inp, variables):
+        def score_fn(gr, t):
+            return self.model.apply(variables, gr, t, self._score_norms(t))
+
+        step = sampling.make_reverse_step(
+            score_fn, self.model_cfg.sigma, self.sampler_cfg, self._sched_keys)
+        return step(carry, inp)
+
+    def _step_call_early(self, carry, inp, variables):
+        def score_fn(gr, t):
+            return self.skip_model.apply(variables, gr, t, self._score_norms(t))
+
+        step = sampling.make_reverse_step(
+            score_fn, self.model_cfg.sigma, self.sampler_cfg, self._sched_keys)
+        return step(carry, inp)
+
+    def _run_loop(self, key, g, variables):
+        """Step-loop equivalent of _run_batch: same math, one executable
+        per step body instead of one whole-scan executable."""
+        k1, k2 = jax.random.split(key)
+        g = self._rand_jit(k1, g)
+        carry = (g, k2)
+        steps = self.sampler_cfg.inference_steps
+        k0 = (self.sampler_cfg.skip_intra_steps
+              if self._step_early_jit is not None else 0)
+        k0 = max(0, min(int(k0), steps))
+        if self._sched_rows is None:
+            # one-time device staging (device_put compiles nothing)
+            self._sched_rows = [
+                (jax.device_put(self._t_np[i]), jax.device_put(self._dt_np[i]),
+                 jax.device_put(self._is_last_np[i]))
+                for i in range(steps)
+            ]
+        traj = [] if self.sampler_cfg.return_trajectory else None
+        for i in range(steps):
+            fn = self._step_early_jit if i < k0 else self._step_jit
+            carry, ys = fn(carry, self._sched_rows[i], variables)
+            if traj is not None:
+                traj.append(ys)
+        g_final = carry[0]
+        traj_out = None
+        if traj is not None:
+            traj_out = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *traj)
+        return g_final, traj_out
+
     def _run_confidence(self, g, conf_variables, filtering_graph=None):
         def conf_fn(gr, t):
             return self.confidence_model.apply(conf_variables, gr, t)
@@ -194,7 +278,7 @@ class DockingPipeline:
         keys = jax.random.split(key, n_chunks)
         for c in range(n_chunks):
             g = graphlib.replicate(g1, bs)
-            g_final, traj = self._run_jit(keys[c], g, self.variables)
+            g_final, traj = self._run(keys[c], g, self.variables)
             if self._conf_jit is not None:
                 gf = graphlib.replicate(gf1, bs) if gf1 is not None else None
                 confs.append(np.asarray(
@@ -332,7 +416,7 @@ class DockingPipeline:
                 if mesh is not None:
                     g = jax.device_put(g, sharding)
                 key, sub = jax.random.split(key)
-                g_final, _ = self._run_jit(sub, g, self.variables)
+                g_final, _ = self._run(sub, g, self.variables)
                 gf = None
                 if fgraphs is not None:
                     gf = graphlib.stack([fgraphs[ci] for ci, _ in chunk])

@@ -54,6 +54,13 @@ class SamplerConfig:
     svgd_only: bool = False
     svgd_rot_rel_weight: float = 1.0
     svgd_tor_rel_weight: float = 1.0
+    # jit one reverse step and dispatch it from a host loop instead of
+    # compiling the whole lax.scan: the scan's XLA TPU compile is a
+    # schedule lottery (~146-434 ms/step for the same program; fast draws
+    # measured ~1/12) while the step body compiles consistently fast —
+    # measured 145.8 ms/step first-draw vs the scan's 147.4 ms best-ever
+    # draw (BASELINE.md).  Default ON; env override DDP_TPU_SAMPLER_LOOP=0/1
+    step_loop: bool = True
 
 
 MANIFOLDS = ("tr", "rot", "tor", "sc_tor")
@@ -295,6 +302,36 @@ def reverse_diffusion(
     come from the full-length schedule rather than treating the truncation
     point as the final step."""
     steps = cfg.inference_steps
+    keys, t_all, dt_all, is_last = reverse_schedule_arrays(
+        schedule, schedule_next, steps)
+
+    step = make_reverse_step(score_fn, sigma, cfg, keys)
+    k0 = cfg.skip_intra_steps if score_fn_early is not None else 0
+    k0 = max(0, min(int(k0), steps))
+    if k0 > 0:
+        (g_mid, key_mid), traj_a = jax.lax.scan(
+            make_reverse_step(score_fn_early, sigma, cfg, keys), (g, key),
+            (t_all[:k0], dt_all[:k0], is_last[:k0]),
+        )
+        (g_final, _), traj_b = jax.lax.scan(
+            step, (g_mid, key_mid), (t_all[k0:], dt_all[k0:], is_last[k0:])
+        )
+        traj = None
+        if cfg.return_trajectory:
+            traj = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], 0), traj_a, traj_b
+            )
+    else:
+        (g_final, _), traj = jax.lax.scan(
+            step, (g, key), (t_all, dt_all, is_last)
+        )
+    return g_final, traj
+
+
+def reverse_schedule_arrays(schedule, schedule_next, steps):
+    """(manifold keys, t [steps, M], dt [steps, M], is_last [steps]) for
+    the reverse SDE — shared by the lax.scan path (reverse_diffusion) and
+    the per-step jit path (pipeline step-loop mode)."""
     if not isinstance(schedule, dict):
         schedule = {m: schedule for m in MANIFOLDS}
     if schedule_next is not None and not isinstance(schedule_next, dict):
@@ -308,6 +345,20 @@ def reverse_diffusion(
         t_next = jnp.stack([schedule_next[k] for k in keys], axis=-1)
     dt_all = t_all - t_next  # final step: dt = t (reference sampling.py:96)
     is_last = jnp.arange(steps) == steps - 1
+    return keys, t_all, dt_all, is_last
+
+
+def make_reverse_step(fn, sigma: SigmaConfig, cfg: SamplerConfig, keys):
+    """One reverse-SDE step as a pure ``(carry, inp) -> (carry, ys)``
+    function (carry = (graph, rng key); inp = (t [M], dt [M], is_last)).
+
+    Used two ways: scanned on-device by reverse_diffusion (one executable
+    for the whole loop), or jitted ONCE and dispatched ``steps`` times from
+    a host loop (pipeline step-loop mode).  The host loop exists because
+    XLA's TPU compile of the 20-step scan is a schedule lottery (~146 ms to
+    ~410 ms per step for the same program, BASELINE.md) while the step
+    body alone compiles consistently fast; dispatch is async so the host
+    loop adds only sub-ms queueing per step."""
     ki = {k: i for i, k in enumerate(keys)}
 
     sd_tr = _sigma_data_point(cfg.temp_sigma_data, sigma.tr_sigma_max, sigma.tr_sigma_min)
@@ -315,13 +366,12 @@ def reverse_diffusion(
     sd_tor = _sigma_data_point(cfg.temp_sigma_data, sigma.tor_sigma_max, sigma.tor_sigma_min)
     sd_sc = _sigma_data_point(cfg.temp_sigma_data, sigma.sc_tor_sigma_max, sigma.sc_tor_sigma_min)
 
-    S = g.lig_pos.shape[0]
-    T = g.tor_bond_index.shape[1]
-    SC = g.sc_bond_index.shape[1]
-
-    def make_step(fn):
-        def step(carry, inp):
+    def step(carry, inp):
             gr, k = carry
+            # static under jit: bucket capacities of the batched graph
+            S = gr.lig_pos.shape[0]
+            T = gr.tor_bond_index.shape[1]
+            SC = gr.sc_bond_index.shape[1]
             t_vec, dt_vec, last = inp
             k, k_tr, k_rot, k_tor, k_sc = jax.random.split(k, 5)
 
@@ -386,29 +436,8 @@ def reverse_diffusion(
 
             ys = (gr.lig_pos, gr.atom_pos) if cfg.return_trajectory else None
             return (gr, k), ys
-        return step
 
-    step = make_step(score_fn)
-    k0 = cfg.skip_intra_steps if score_fn_early is not None else 0
-    k0 = max(0, min(int(k0), steps))
-    if k0 > 0:
-        (g_mid, key_mid), traj_a = jax.lax.scan(
-            make_step(score_fn_early), (g, key),
-            (t_all[:k0], dt_all[:k0], is_last[:k0]),
-        )
-        (g_final, _), traj_b = jax.lax.scan(
-            step, (g_mid, key_mid), (t_all[k0:], dt_all[k0:], is_last[k0:])
-        )
-        traj = None
-        if cfg.return_trajectory:
-            traj = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], 0), traj_a, traj_b
-            )
-    else:
-        (g_final, _), traj = jax.lax.scan(
-            step, (g, key), (t_all, dt_all, is_last)
-        )
-    return g_final, traj
+    return step
 
 
 def run_confidence(
