@@ -612,7 +612,19 @@ class AllAtomScoreModel(nn.Module):
             for i, f in enumerate([ns, ns]):
                 h = nn.Dense(f)(h)
                 if not cfg.confidence_no_batchnorm:
-                    h = nn.BatchNorm(use_running_average=ura, momentum=0.9)(h)
+                    if cfg.parallel > 1:
+                        # LayerNorm in parallel mode (deviation from the
+                        # reference's BatchNorm1d, :136-146): the batch is
+                        # B/parallel complexes x parallel NEAR-IDENTICAL
+                        # pose replicas, so per-feature batch statistics
+                        # have ~B/parallel effective samples (2 at the
+                        # affinity journey's batch size) and the running
+                        # averages diverge from the degenerate batch stats
+                        # (measured: val BCE ~300 with train BCE ~1 while
+                        # the same trunk at parallel=1/batch 16 evals fine).
+                        h = nn.LayerNorm()(h)
+                    else:
+                        h = nn.BatchNorm(use_running_average=ura, momentum=0.9)(h)
                 h = nn.relu(h)
                 h = nn.Dropout(cfg.confidence_dropout)(h, deterministic=det)
             confidence = nn.Dense(n_out)(h)

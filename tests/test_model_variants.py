@@ -306,9 +306,14 @@ def test_affinity_head_eval_stable_with_degenerate_pose_batches():
     for leaf in jax.tree.leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
-    _, ap_eval = model.apply({"params": params, "batch_stats": batch_stats},
-                             g, t, None, train=False)
-    ap_eval = np.asarray(ap_eval)
+    filt_eval, ap_eval = model.apply(
+        {"params": params, "batch_stats": batch_stats}, g, t, None, train=False)
+    ap_eval, filt_eval = np.asarray(ap_eval), np.asarray(filt_eval)
     assert np.all(np.isfinite(ap_eval))
     # z-space labels are O(1); a statistics-gap blowup lands at 1e3-1e5
     assert np.max(np.abs(ap_eval)) < 50.0, ap_eval
+    # the per-pose filtering logits go through the trunk MLP, whose batch
+    # is the same degenerate B/parallel-complex axis in parallel mode
+    # (measured: val BCE ~300 with train BCE ~1 before the LayerNorm fix)
+    assert np.all(np.isfinite(filt_eval))
+    assert np.max(np.abs(filt_eval)) < 50.0, filt_eval
