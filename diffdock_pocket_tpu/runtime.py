@@ -220,31 +220,46 @@ def restore_compile_cache(tag: str = "best") -> int:
     return n
 
 
+_GUARD_STRIKES: dict = {}
+
+
 def steady_state_guard(sig: str, step_ms: float, tolerance: float = 1.5,
-                       reroll_allowed: bool = True) -> bool:
+                       reroll_allowed: bool = True,
+                       strikes_required: int = 2) -> bool:
     """Per-epoch steady-state throughput check (training runs have no
     retry path of their own — BASELINE.md compile lottery).  Compares the
     measured per-step time against the best recorded for ``sig``; a clean
     epoch updates the record, a pathological one logs a visible warning
-    and (if ``reroll_allowed`` and DDP_TPU_RECOMPILE_ON_SLOW != 0) evicts
-    the compile caches so the caller's next jit re-rolls the lottery.
-    Returns True iff an eviction was performed."""
+    and — after ``strikes_required`` CONSECUTIVE pathological epochs (one
+    slow epoch is usually host contention: async checkpoint saves were
+    measured inflating an epoch to 36 s/step vs a 168 ms best, and a
+    single-strike guard then evicted the whole compile cache for nothing)
+    — evicts the compile caches (if ``reroll_allowed`` and
+    DDP_TPU_RECOMPILE_ON_SLOW != 0) so the caller's next jit re-rolls the
+    lottery.  Returns True iff an eviction was performed."""
     import logging
 
     log = logging.getLogger(__name__)
     ok, target = step_time_ok(sig, step_ms, tolerance=tolerance)
     if ok:
         record_step_time(sig, step_ms)
+        _GUARD_STRIKES[sig] = 0
         return False
+    strikes = _GUARD_STRIKES.get(sig, 0) + 1
+    _GUARD_STRIKES[sig] = strikes
     log.warning(
         "steady-state guard: %.0f ms/step vs best recorded %.0f ms (%s) — "
-        "pathological compile draw", step_ms, target, sig)
+        "pathological epoch (strike %d/%d)", step_ms, target, sig,
+        strikes, strikes_required)
+    if strikes < strikes_required:
+        return False
     if reroll_allowed and os.environ.get(
             "DDP_TPU_RECOMPILE_ON_SLOW", "1") != "0":
         n = evict_compile_caches()
         log.warning(
             "steady-state guard: evicted %d cache entries; the next jit "
             "recompiles", n)
+        _GUARD_STRIKES[sig] = 0
         return True
     return False
 

@@ -114,10 +114,20 @@ def test_steady_state_guard_rerolls_on_slow_epoch(tmp_path, monkeypatch):
     # clean epoch within tolerance (1.5x): records-if-better, no reroll
     assert runtime.steady_state_guard("t_sig", 250.0) is False
     assert not evictions
-    # pathological epoch (>1.5x best): evicts once
+    # FIRST pathological epoch (>1.5x best): strike only — one slow epoch
+    # is usually host contention (async checkpoint saves measured 36 s/step
+    # against a 168 ms best), not a compile pathology
+    assert runtime.steady_state_guard("t_sig", 600.0) is False
+    assert not evictions
+    # a clean epoch in between resets the strikes
+    assert runtime.steady_state_guard("t_sig", 210.0) is False
+    assert runtime.steady_state_guard("t_sig", 600.0) is False
+    assert not evictions
+    # SECOND consecutive pathological epoch: evicts
     assert runtime.steady_state_guard("t_sig", 600.0) is True
     assert len(evictions) == 1
     # reroll_allowed=False (trainer only re-rolls once per run): no eviction
+    assert runtime.steady_state_guard("t_sig", 600.0) is False
     assert runtime.steady_state_guard(
         "t_sig", 600.0, reroll_allowed=False) is False
     assert len(evictions) == 1
