@@ -135,7 +135,11 @@ class DockingDataset:
     we hash the full DataConfig + a version tag, which invalidates caches on
     any config change identically)."""
 
-    CACHE_VERSION = 1
+    # bumped to 2 when tier-2 conformer generation changed (round-4 fix:
+    # jittered_torsion_conformer replaced the pure-chemistry DG embed as
+    # the matching default — caches built before the bump hold conformers
+    # with a ~2 A matching floor that silently caps training quality)
+    CACHE_VERSION = 2
 
     def __init__(
         self,

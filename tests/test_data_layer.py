@@ -394,6 +394,38 @@ def test_generate_conformer_tiers():
     assert aligned_rmsd(conf.coords, mol.coords) > 1.0
 
 
+def test_conformer_match_quality_floor(monkeypatch):
+    """ROUND-4 REGRESSION GUARD: the matched training conformer must land
+    well under 1 A of the crystal.  Round 4 measured 2.1-2.6 A matched
+    conformers (pure-chemistry DG embeds as the tier-2 default) which put
+    a hard ~2.3-2.9 A floor under held-out docking — training can never
+    beat its own input-conformer error.  Reference bar: ETKDG + DE
+    matching lands ~0.3-0.6 A (process_mols.py:467-512)."""
+    import numpy as np
+
+    from diffdock_pocket_tpu.data import conformer as C
+    from diffdock_pocket_tpu.data.sdf import read_molecule
+
+    mol = read_molecule("example_data/3dpf_ligand.sdf", remove_hs=True)
+    matched, score = C.conformer_match_ligand(
+        mol, rng=np.random.default_rng(0))
+    assert score < 0.8, f"matched RMSD {score:.2f} A re-opens the round-4 floor"
+    # the pre-match conformer must still be pose-decorrelated
+    gen = C.generate_conformer(mol, np.random.default_rng(1))
+    assert C.aligned_rmsd(gen.coords, mol.coords) > 1.0
+
+    # gate fallback: an unmatchable generated conformer (angles smashed by
+    # per-atom noise) must trigger the tier-4 fallback, not be used as-is
+    def bad_gen(m, rng=None):
+        noisy = m.coords + np.random.default_rng(2).normal(
+            0, 0.6, m.coords.shape).astype(np.float32)
+        return m.with_coords(noisy)
+
+    monkeypatch.setattr(C, "generate_conformer", bad_gen)
+    _, score2 = C.conformer_match_ligand(mol, rng=np.random.default_rng(0))
+    assert score2 < C.MATCH_RMSD_GATE
+
+
 def test_hybridization_rules():
     """Hybridization heuristic edge cases: carboxylate-like centers (two
     doubles, 3 neighbors) are SP2 not SP; cumulated doubles on a 2-neighbor
