@@ -306,15 +306,17 @@ class DockingPipeline:
             order = np.argsort(-conf)
         else:
             order = np.arange(S)
-        g_np = jax.device_get(g1)
+        # fetch ONLY the two masks (a few hundred bytes) — device_get of the
+        # whole graph pytree pulls the ESM features (~1 MB) back through the
+        # tunnel per complex for no reason
         return DockingResult(
             name=data.name,
             lig_pos=lig_pos[order],
             atom_pos=atom_pos[order],
             confidence=conf[order] if conf is not None else None,
             center=np.asarray(data.raw["original_center"]),
-            lig_mask=np.asarray(g_np.lig_mask),
-            atom_mask=np.asarray(g_np.atom_mask),
+            lig_mask=np.asarray(g1.lig_mask),
+            atom_mask=np.asarray(g1.atom_mask),
             trajectory=tuple(t[:, order] for t in trajectory) if trajectory else None,
             affinity=aff[order] if aff is not None else None,
         )
@@ -469,15 +471,16 @@ class DockingPipeline:
             conf = np.stack(conf_acc[ci])[:S] if conf_acc[ci] else None
             conf, aff = split_confidence_output(conf, self.confidence_cfg)
             order = np.argsort(-conf) if conf is not None else np.arange(S)
-            g_np = jax.device_get(graphs[ci])
+            # masks only — device_get of the whole graph pytree would pull
+            # the ESM features back through the tunnel per complex
             results.append(DockingResult(
                 name=data.name,
                 lig_pos=lig_pos[order],
                 atom_pos=atom_pos[order],
                 confidence=conf[order] if conf is not None else None,
                 center=np.asarray(data.raw["original_center"]),
-                lig_mask=np.asarray(g_np.lig_mask),
-                atom_mask=np.asarray(g_np.atom_mask),
+                lig_mask=np.asarray(graphs[ci].lig_mask),
+                atom_mask=np.asarray(graphs[ci].atom_mask),
                 affinity=aff[order] if aff is not None else None,
             ))
         return results
