@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import math
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional
@@ -353,27 +354,26 @@ class DockingPipeline:
         that still fits it.  Each rung used costs one extra compile of the
         sampler executable, so this pays off for long-running services and
         large corpora, not one-shot small jobs.
+
+        Scheduling: complexes are featurized (``graph.from_raw``, pure host
+        work) one at a time, and every FULL chunk of a complex is dispatched
+        to the device the moment its graph exists — so featurizing complex
+        i+1 overlaps the reverse diffusion of complex i (all dispatch is
+        async; results materialize only at the end).  Only the per-complex
+        tail samples (S mod bs) wait: they are pooled across complexes by
+        shape signature so partial chunks of one complex are filled with the
+        next complex's samples instead of padding.  The round-4 layout
+        (featurize everything, then dispatch) serialized ~0.5 s/complex of
+        host featurization in front of all device work, which is exactly the
+        dock_many-slower-than-dock() gap measured in BENCH_r04.
         """
+        import time as _time
         from collections import defaultdict
 
         S = self.samples_per_complex
-        graphs = [graphlib.from_raw(d.raw, buckets=self.buckets) for d in datas]
-        fgraphs = None
-        if filtering_datas is not None and self._conf_jit is not None:
-            fgraphs = [
-                graphlib.from_raw(d.raw, buckets=self.buckets)
-                for d in filtering_datas
-            ]
-            # same ligand-capacity guard as dock(): run_confidence transfers
-            # lig_pos from the score graph into the filtering graph, which is
-            # only coherent when both bucketed to the same ligand capacity
-            for ci, (g1, gf1) in enumerate(zip(graphs, fgraphs)):
-                if gf1.lig_pos.shape != g1.lig_pos.shape:
-                    raise ValueError(
-                        f"complex {datas[ci].name}: filtering graph ligand "
-                        f"capacity differs from the score graph "
-                        f"({gf1.lig_pos.shape} vs {g1.lig_pos.shape})"
-                    )
+        use_conf = self._conf_jit is not None
+        if filtering_datas is not None and use_conf:
+            assert len(filtering_datas) == len(datas)
 
         def shape_sig(g1):
             return tuple(
@@ -382,16 +382,7 @@ class DockingPipeline:
                 if hasattr(leaf, "shape")
             )
 
-        # group by BOTH signatures so graphlib.stack never sees mixed
-        # filtering shapes within one chunk
-        groups = defaultdict(list)
-        for ci, g1 in enumerate(graphs):
-            sig = shape_sig(g1)
-            if fgraphs is not None:
-                sig = (sig, shape_sig(fgraphs[ci]))
-            groups[sig].append(ci)
-
-        bs = min(self.batch_size, S * max(len(v) for v in groups.values()))
+        bs = min(self.batch_size, S * len(datas))
         if mesh is not None:
             n_dev = mesh.size
             bs = max(bs, n_dev) // n_dev * n_dev
@@ -404,22 +395,75 @@ class DockingPipeline:
         conf_acc: dict[int, list] = defaultdict(list)
 
         # all chunks are dispatched asynchronously and materialized only at
-        # the end, so host-side chunk assembly for chunk i+1 overlaps device
-        # compute for chunk i (the single-complex dock() hides its host work
-        # the same way; before this, dock_many synced per chunk and ran
-        # ~30% below single-complex throughput at the same bucket)
+        # the end, so host work (featurize + chunk assembly) overlaps device
+        # compute (the single-complex dock() hides its host work the same
+        # way; before this, dock_many synced per chunk and ran ~30% below
+        # single-complex throughput at the same bucket)
         pending: list[tuple[list, int, jax.Array, jax.Array, Optional[jax.Array]]] = []
+        graphs: list[ComplexGraph] = []
+        # tail pool: sig -> list of (ci, g1, gf1, n_tail)
+        tails: dict[tuple, list] = defaultdict(list)
+        prof = {"featurize_s": 0.0, "dispatch_s": 0.0, "materialize_s": 0.0}
 
-        for idxs in groups.values():
-            work = [(ci, s) for ci in idxs for s in range(S)]
+        def dispatch(g, gf, chunk, n_real, key):
+            if mesh is not None:
+                g = jax.device_put(g, sharding)
+                if gf is not None:
+                    gf = jax.device_put(gf, sharding)
+            g_final, _ = self._run(key, g, self.variables)
+            conf = (
+                self._conf_jit(g_final, self.confidence_variables, gf)
+                if use_conf else None
+            )
+            pending.append(
+                (chunk, n_real, g_final.lig_pos, g_final.atom_pos, conf))
+
+        for ci, d in enumerate(datas):
+            t0 = _time.perf_counter()
+            g1 = graphlib.from_raw(d.raw, buckets=self.buckets)
+            gf1 = None
+            if filtering_datas is not None and use_conf:
+                gf1 = graphlib.from_raw(
+                    filtering_datas[ci].raw, buckets=self.buckets)
+                # same ligand-capacity guard as dock(): run_confidence
+                # transfers lig_pos from the score graph into the filtering
+                # graph, which is only coherent when both bucketed to the
+                # same ligand capacity
+                if gf1.lig_pos.shape != g1.lig_pos.shape:
+                    raise ValueError(
+                        f"complex {d.name}: filtering graph ligand "
+                        f"capacity differs from the score graph "
+                        f"({gf1.lig_pos.shape} vs {g1.lig_pos.shape})"
+                    )
+            prof["featurize_s"] += _time.perf_counter() - t0
+            graphs.append(g1)
+            t0 = _time.perf_counter()
+            n_full = S // bs
+            for c in range(n_full):
+                g = graphlib.replicate(g1, bs)
+                gf = graphlib.replicate(gf1, bs) if gf1 is not None else None
+                key, sub = jax.random.split(key)
+                chunk = [(ci, c * bs + s) for s in range(bs)]
+                dispatch(g, gf, chunk, bs, sub)
+            prof["dispatch_s"] += _time.perf_counter() - t0
+            n_tail = S - n_full * bs
+            if n_tail:
+                sig = shape_sig(g1)
+                if gf1 is not None:
+                    sig = (sig, shape_sig(gf1))
+                tails[sig].append((ci, g1, gf1, n_tail))
+
+        t0 = _time.perf_counter()
+        for group in tails.values():
+            work = [(u, ci, s) for u, (ci, _g, _gf, n_tail) in enumerate(group)
+                    for s in range(n_tail)]
             # one device-resident stack of the group's unique graphs; each
             # chunk batch is then a jitted gather (device-to-device) instead
-            # of a host re-stack + re-upload of the same complexes S times
-            pos = {ci: u for u, ci in enumerate(idxs)}
-            g_stack = graphlib.stack([graphs[ci] for ci in idxs])
+            # of a host re-stack + re-upload of the same complexes per chunk
+            g_stack = graphlib.stack([g for _ci, g, _gf, _n in group])
             gf_stack = (
-                graphlib.stack([fgraphs[ci] for ci in idxs])
-                if fgraphs is not None else None
+                graphlib.stack([gf for _ci, _g, gf, _n in group])
+                if group[0][2] is not None else None
             )
             for off in range(0, len(work), bs):
                 chunk = work[off : off + bs]
@@ -435,24 +479,16 @@ class DockingPipeline:
                         cb = half
                 while len(chunk) < cb:  # tail: repeat rows, drop later
                     chunk.append(chunk[len(chunk) - n_real])
-                rows = jnp.asarray([pos[ci] for ci, _ in chunk], dtype=jnp.int32)
+                rows = jnp.asarray([u for u, _ci, _s in chunk], dtype=jnp.int32)
                 g = self._gather_jit(g_stack, rows)
-                if mesh is not None:
-                    g = jax.device_put(g, sharding)
+                gf = (self._gather_jit(gf_stack, rows)
+                      if gf_stack is not None else None)
                 key, sub = jax.random.split(key)
-                g_final, _ = self._run(sub, g, self.variables)
-                gf = None
-                if gf_stack is not None:
-                    gf = self._gather_jit(gf_stack, rows)
-                    if mesh is not None:
-                        gf = jax.device_put(gf, sharding)
-                conf = (
-                    self._conf_jit(g_final, self.confidence_variables, gf)
-                    if self._conf_jit is not None
-                    else None
-                )
-                pending.append(
-                    (chunk, n_real, g_final.lig_pos, g_final.atom_pos, conf))
+                dispatch(g, gf, [(ci, s) for _u, ci, s in chunk],
+                         n_real, sub)
+        prof["dispatch_s"] += _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
 
         for chunk, n_real, lig_d, atom_d, conf_d in pending:
             lig = np.asarray(lig_d)
@@ -463,6 +499,14 @@ class DockingPipeline:
                 atom_acc[ci].append(atom[row])
                 if conf is not None:
                     conf_acc[ci].append(conf[row])
+        prof["materialize_s"] = _time.perf_counter() - t0
+        logger.info(
+            "dock_many phases: featurize %.2fs dispatch %.2fs materialize %.2fs",
+            prof["featurize_s"], prof["dispatch_s"], prof["materialize_s"])
+        if os.environ.get("DDP_TPU_DOCK_MANY_PROFILE", "0") == "1":
+            import sys as _sys
+
+            print(f"dock_many profile: {prof}", file=_sys.stderr)
 
         results = []
         for ci, data in enumerate(datas):
