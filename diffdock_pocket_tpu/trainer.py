@@ -15,6 +15,7 @@ inject_hyperparams.
 """
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -119,6 +120,9 @@ class Trainer:
         self.eval_step = jax.jit(
             training.make_eval_step(self.model, model_cfg.sigma, noise_cfg, loss_weights)
         )
+        self.stats_step = jax.jit(
+            training.make_stats_step(self.model, model_cfg.sigma, noise_cfg)
+        )
         # device-resident dataset (gather batches on device by index): the
         # host<->TPU link is the scarcest resource in this deployment — a
         # per-step host-stacked batch upload (~8 MB) dwarfs the step itself.
@@ -131,6 +135,10 @@ class Trainer:
         )
         self._gather_eval = jax.jit(
             lambda params, bs, key, stacked, rows, tbl: self.eval_step(
+                params, bs, key, jax.tree.map(lambda a: a[rows], stacked), tbl)
+        )
+        self._gather_stats = jax.jit(
+            lambda params, bs, key, stacked, rows, tbl: self.stats_step(
                 params, bs, key, jax.tree.map(lambda a: a[rows], stacked), tbl)
         )
         self.scheduler = PlateauScheduler(
@@ -265,6 +273,37 @@ class Trainer:
                 rows.append(row)
             yield groups[sig], jnp.asarray(rows, dtype=jnp.int32)
 
+    def _refresh_stats(self, params, batch_stats, key, passes=None):
+        """Re-center the BN running statistics on the CURRENT ``params`` by
+        folding fresh batch statistics in at the layers' own momentum.
+
+        ``passes`` sweeps over the training batches re-run the normal
+        stats-update forward (momentum 0.1 per batch, as in training), each
+        with fresh noise draws, STARTING from the existing running stats.
+        After P passes x N batches the stale-stats weight is 0.9^(P*N)
+        (~12% at the corpus scale's P=4 x N=5) while the t-draw noise of any
+        single batch is smoothed by the same EMA that training relies on.
+        A plain mean of single-pass per-batch statistics is NOT used: with
+        few batches it samples the t (sigma) distribution so thinly that the
+        per-channel variance estimates are noisier than the stale stats they
+        replace (measured: val loss 6-59 vs 1.4-1.9 on the tiny verify run).
+        Rationale for refreshing at all: training.make_stats_step."""
+        if passes is None:
+            passes = int(getattr(self.args, "bn_refresh_passes", 4) or 4)
+        bs = batch_stats
+        dev = bool(self._device_groups_for(self.train_set))
+        for _ in range(passes):
+            if dev:
+                for stacked, rows in self._device_batches(self.train_set):
+                    key, sub = jax.random.split(key)
+                    bs = self._gather_stats(
+                        params, bs, sub, stacked, rows, self.tbl)
+            else:
+                for g, _ in self._batches(self.train_set):
+                    key, sub = jax.random.split(key)
+                    bs = self.stats_step(params, bs, sub, g, self.tbl)
+        return bs
+
     def fit(self):
         args = self.args
         key = jax.random.PRNGKey(args.seed)
@@ -345,18 +384,22 @@ class Trainer:
                 intervals=10 if args.test_sigma_intervals else 1,
             )
             eval_params = state.ema.params if args.use_ema else state.params
+            eval_bs = state.batch_stats
+            if getattr(args, "bn_stats_refresh", False):
+                key, sub = jax.random.split(key)
+                eval_bs = self._refresh_stats(eval_params, state.batch_stats, sub)
             pending = []
             if self._device_groups_for(self.val_set):
                 for stacked, rows in self._device_batches(self.val_set):
                     key, sub = jax.random.split(key)
                     pending.append(self._gather_eval(
-                        eval_params, state.batch_stats, sub, stacked, rows,
+                        eval_params, eval_bs, sub, stacked, rows,
                         self.tbl))
             else:
                 for g, _ in self._batches(self.val_set):
                     key, sub = jax.random.split(key)
                     pending.append(self.eval_step(
-                        eval_params, state.batch_stats, sub, g, self.tbl))
+                        eval_params, eval_bs, sub, g, self.tbl))
             for aux in jax.device_get(pending):
                 t_tr = aux.pop("t_tr")
                 val_meter.add(aux, t_tr=t_tr)
@@ -367,7 +410,7 @@ class Trainer:
             # ---- periodic validation docking ----------------------------
             if args.val_inference_freq and (epoch + 1) % args.val_inference_freq == 0:
                 key, sub = jax.random.split(key)
-                inf = self.inference_epoch(eval_params, state.batch_stats, sub)
+                inf = self.inference_epoch(eval_params, eval_bs, sub)
                 metrics.update({f"valinf_{k}": v for k, v in inf.items()})
 
             # ---- periodic TRAIN-set docking (reference train.py:80-87;
@@ -378,7 +421,7 @@ class Trainer:
                 key, sub = jax.random.split(key)
                 self._inference_set = self.train_set
                 try:
-                    inf = self.inference_epoch(eval_params, state.batch_stats, sub)
+                    inf = self.inference_epoch(eval_params, eval_bs, sub)
                 finally:
                     self._inference_set = None
                 metrics.update({f"traininf_{k}": v for k, v in inf.items()})
@@ -395,10 +438,18 @@ class Trainer:
                 "epoch %d (%.1fs): %s", epoch, time.time() - t0,
                 {k: round(v, 4) for k, v in metrics.items() if isinstance(v, float)},
             )
+            # durable per-epoch history (confidence/train.py already keeps
+            # one; without it a finished run's trajectory survives only in
+            # scrollback — the r3 corpus run's valinf curve was lost that way)
+            with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as fh:
+                fh.write(json.dumps(
+                    {k: (round(v, 6) if isinstance(v, float) else v)
+                     for k, v in metrics.items()
+                     if isinstance(v, (int, float, str))}) + "\n")
             if self.wandb is not None:
                 self.wandb.log(metrics, step=epoch)
 
-            self._checkpoint(state, metrics, epoch)
+            self._checkpoint(state, metrics, epoch, eval_batch_stats=eval_bs)
 
     # ------------------------------------------------------------------
     def inference_epoch(self, params, batch_stats, key) -> dict:
@@ -570,8 +621,13 @@ class Trainer:
                 acc["sc_rmsds_from_holo_ratio"].append(from_holo / orig_from_holo)
 
     # ------------------------------------------------------------------
-    def _checkpoint(self, state, metrics, epoch):
-        """best-per-criterion + last (reference train.py:101-141)."""
+    def _checkpoint(self, state, metrics, epoch, eval_batch_stats=None):
+        """best-per-criterion + last (reference train.py:101-141).
+
+        ``eval_batch_stats`` (the BN-refresh output, when enabled) ships with
+        the EMA checkpoints: those are what the metrics were measured on and
+        what inference loads, so they must carry the stats that produced the
+        recorded numbers."""
         criteria = {
             "best_model": ("val_loss", "min", None),
             # tie-break: valinf_rmsds_lt2 saturates at 1.0 on small val sets
@@ -619,7 +675,10 @@ class Trainer:
                     ema_name = name.replace("best_", "best_ema_")
                     ckpt.save_checkpoint(
                         os.path.join(self.run_dir, ema_name),
-                        {"params": state.ema.params, "batch_stats": state.batch_stats},
+                        {"params": state.ema.params,
+                         "batch_stats": (eval_batch_stats
+                                         if eval_batch_stats is not None
+                                         else state.batch_stats)},
                     )
         freq = getattr(self.args, "checkpoint_freq", 1) or 1
         if (epoch + 1) % freq == 0 or epoch + 1 == self.args.n_epochs:

@@ -394,3 +394,41 @@ def make_eval_step(model, sigma: SigmaConfig, noise_cfg: NoiseConfig,
         return aux
 
     return eval_step
+
+
+def make_stats_step(model, sigma: SigmaConfig, noise_cfg: NoiseConfig):
+    """Batch-norm statistics re-estimation step (no loss, no grads).
+
+    Runs one noised forward in train mode with only the ``batch_stats``
+    collection mutable and returns the updated running statistics.  Used by
+    the trainer's BN-stats refresh: the trunk's masked per-irrep BatchNorm
+    accumulates running stats by momentum during training, but the pre-norm
+    activation scale drifts faster than the running average tracks (measured
+    late-layer running variances ~1e6-1e7 on the corpus run), so eval mode
+    (use_running_average=True) intermittently amplifies — observed as
+    sporadic val-loss explosions (val rot loss 1e2-1e4 while the same batch
+    under batch statistics is ~0.5) and one diverged val-docking epoch.
+    Re-estimating the stats under the CURRENT (EMA) weights immediately
+    before evaluation removes the lag.  Deviation from the reference, which
+    evaluates on momentum-accumulated e3nn BatchNorm stats
+    (models/score_model.py:98 via e3nn.nn.BatchNorm) and simply lives with
+    the gap at its training scale."""
+    inv_grids = (
+        beta_ppf_grids(noise_cfg)
+        if noise_cfg.asyncronous_noise_schedule else None
+    )
+
+    def stats_step(params, batch_stats, key, g, tbl: tables.Tables):
+        so3, torus = tbl.so3, tbl.torus
+        k_t, k_noise, k_drop = jax.random.split(key, 3)
+        B = g.lig_pos.shape[0]
+        t = sample_times(k_t, B, noise_cfg, inv_grids)
+        g_noised, _ = apply_noise(k_noise, g, t, sigma, so3, torus, noise_cfg)
+        _, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g_noised, t, score_norms(t, sigma, so3, torus),
+            train=True, rngs={"dropout": k_drop}, mutable=["batch_stats"],
+        )
+        return mutated["batch_stats"]
+
+    return stats_step

@@ -28,6 +28,11 @@ PATHS=(
   results/corpus_hard_journey.json
   results/lmax2_cost.json
   results/lottery_verification.json
+  results/dock_many_parity.json
+  results/bench_r5_default.json
+  results/corpus/affinity_journey.json
+  results/corpus_journey.json
+  results/corpus/corpus_meta.json
   results/bench_r4_base.json
   results/bench_r4_knobs.json
   results/bench_r4_fine.json

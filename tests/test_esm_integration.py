@@ -123,6 +123,13 @@ def test_train_infer_roundtrip_with_esm(tmp_path):
     result = pipe.dock(data, jax.random.PRNGKey(0))
     assert np.isfinite(result.lig_pos).all()
 
+    # durable per-epoch history next to the checkpoints (one line per epoch)
+    import json as _json
+    with open(os.path.join(run_dir, "metrics.jsonl")) as fh:
+        hist = [_json.loads(l) for l in fh]
+    assert len(hist) == args.n_epochs
+    assert "loss" in hist[0] and "val_loss" in hist[0]
+
 
 def test_dim_mismatch_raises(tmp_path):
     """A model expecting 1280-d ESM features must refuse 0-d graphs."""

@@ -171,6 +171,14 @@ def parse_train_args(argv=None):
     p.add_argument("--inference_samples", type=int, default=4)
     p.add_argument("--main_metric", type=str, default="valinf_rmsds_lt2")
     p.add_argument("--main_metric_goal", type=str, default="max")
+    p.add_argument("--bn_stats_refresh", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="re-estimate BatchNorm running statistics under the "
+                        "evaluated (EMA) weights before each validation pass "
+                        "and ship them with the EMA checkpoints; removes the "
+                        "train/eval stats lag that intermittently exploded "
+                        "val losses on the corpus run "
+                        "(training.make_stats_step)")
     p.add_argument("--n_devices", type=int, default=1)
     # featurization is CPU-bound; this lets it run (DDP_TPU_PLATFORM=cpu)
     # while the chip serves another job — the config-hashed cache is then
