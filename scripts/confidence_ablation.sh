@@ -15,6 +15,10 @@
 # -> results/corpus/confidence_ablation.json
 set -e
 cd "$(dirname "$0")/.."
+# round-5 ordering: when /tmp/r5_defer exists this stage is deferred
+# behind the side-chain extension (scripts/r5_queue2.sh re-runs it)
+[ -f /tmp/r5_defer ] && { echo "deferred by /tmp/r5_defer"; exit 0; }
+
 C=${C:-results/corpus}
 W=$C/workdir
 GEN_SPC=${GEN_SPC:-16}

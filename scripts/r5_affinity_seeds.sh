@@ -14,6 +14,10 @@
 # Run detached: nohup bash scripts/r5_affinity_seeds.sh > /tmp/r5_affinity.log 2>&1 &
 set -e
 cd "$(dirname "$0")/.." || exit 1
+# round-5 ordering: when /tmp/r5_defer exists this stage is deferred
+# behind the side-chain extension (scripts/r5_queue2.sh re-runs it)
+[ -f /tmp/r5_defer ] && { echo "deferred by /tmp/r5_defer"; exit 0; }
+
 C=${C:-results/corpus}
 W=$C/workdir
 GEN_SPC=${GEN_SPC:-8}
