@@ -144,12 +144,15 @@ def main():
 
     data = featurize.build_complex(ligand, protein, featurize.DataConfig(), name="3dpf")
     # finer bucket rungs cut model-fwd ~12% via less padding (3dpf: lig 37
-    # pads to 48 not 64, rec 139 to 160 not 192); under the step-loop sampler
-    # only the step body compiles, so the compile cost is sane — still opt-in
-    # until the quality A/B lands (results/corpus/heldout_eval_*.json).
-    buckets = None
-    if os.environ.get("BENCH_FINE_BUCKETS", "0") == "1":
-        buckets = {"lig": (48, 64, 96, 128), "rec": (160, 192, 288, 384)}
+    # pads to 48 not 64, rec 139 to 160 not 192).  DEFAULT ON since round 5:
+    # padding is quality-neutral by construction — masks fully isolate pad
+    # rows (tests/test_model.py::test_padding_invariance asserts identical
+    # predictions across bucket sizes) — and the step-loop sampler compiles
+    # only the step body, so the extra rung's compile cost is sane.
+    # Measured: 6.49 -> 7.88 poses/s (results/bench_r4_{base,fine}.json).
+    buckets = {"lig": (48, 64, 96, 128), "rec": (160, 192, 288, 384)}
+    if os.environ.get("BENCH_FINE_BUCKETS", "1") == "0":
+        buckets = None
         print("bench: fine bucket rungs enabled (lig 48 / rec 160)",
               file=sys.stderr)
     g1 = graphlib.from_raw(data.raw, buckets=buckets)
