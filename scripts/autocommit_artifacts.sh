@@ -19,6 +19,16 @@ PATHS=(
   results/corpus/workdir/score/best_ema_steric_clash_model
   results/corpus/workdir/score/model_parameters.yml
   results/corpus/workdir/conf/best_model
+  results/corpus/workdir/score/last_model
+  results/corpus/workdir/score/metrics.jsonl
+  results/corpus/workdir/score_ext/best_ema_inference_epoch_model
+  results/corpus/workdir/score_ext/best_ema_sc_rmsd_model
+  results/corpus/workdir/score_ext/last_model
+  results/corpus/workdir/score_ext/model_parameters.yml
+  results/corpus/workdir/score_ext/metrics.jsonl
+  results/corpus/workdir/conf_ext/best_model
+  results/corpus/workdir/conf_ext/model_parameters.yml
+  results/corpus/heldout_eval_ep400.json
   results/corpus/workdir/conf/model_parameters.yml
   results/corpus/heldout_eval.json
   results/corpus/heldout_eval_bf16.json

@@ -42,31 +42,36 @@ if [ ! -d $W/score_ext/best_ema_inference_epoch_model ]; then
 fi
 
 # ---- stage 2: confidence stack on the extended model ------------------------
+# Reuses the journey's cache_filtering GRAPHS cache (featurization is score-
+# model-independent; a fresh cache root would re-pay ~3 h of single-core DE
+# conformer matching) and generates NEW pose rounds under cache ids 3/4
+# (pose caches are keyed by cache_creation_id, so the ep400 model's rounds
+# 1/2 are untouched).
 if [ ! -d $W/conf_ext/best_model ]; then
   echo "=== ext stage 2: pose generation + confidence training ==="
   for ID in 1 2; do
-    if [ ! -f $C/cache_filtering_ext/poses/train/poses_id$ID.pkl ]; then
+    if [ ! -f $C/cache_filtering/poses/train/poses_id$((ID+2)).pkl ]; then
       bash scripts/run_watchdog.sh python filtering_train.py \
         --original_model_dir $W/score_ext --ckpt best_ema_inference_epoch_model \
         --protein_ligand_csv $C/conf_train.csv \
         --protein_ligand_csv_val $C/conf_val.csv \
-        --cache_path $C/cache_filtering_ext \
+        --cache_path $C/cache_filtering \
         --samples_per_complex $GEN_SPC --inference_steps 20 \
-        --cache_creation_id $ID --seed $ID \
+        --cache_creation_id $((ID+2)) --seed $((ID+2)) \
         --n_epochs 0 --log_dir $W --run_name conf_ext_seed || true
     fi
   done
   SC_CUT=$(python scripts/pose_cache_stats.py \
-    $C/cache_filtering_ext/poses/train/poses_id*.pkl \
-    $C/cache_filtering_ext/poses/val/poses_id*.pkl | tee /dev/stderr | tail -1)
+    $C/cache_filtering/poses/train/poses_id[34].pkl \
+    $C/cache_filtering/poses/val/poses_id[34].pkl | tee /dev/stderr | tail -1)
   echo "=== ext stage 2: sc_rmsd_classification_cutoff = $SC_CUT ==="
   bash scripts/run_watchdog.sh python filtering_train.py \
     --original_model_dir $W/score_ext --ckpt best_ema_inference_epoch_model \
     --protein_ligand_csv $C/conf_train.csv \
     --protein_ligand_csv_val $C/conf_val.csv \
-    --cache_path $C/cache_filtering_ext \
+    --cache_path $C/cache_filtering \
     --samples_per_complex $GEN_SPC --inference_steps 20 \
-    --cache_ids_to_combine 1 2 --balance \
+    --cache_ids_to_combine 3 4 --balance \
     --sc_rmsd_classification_cutoff $SC_CUT --val_multiplicity 8 \
     --n_epochs $CONF_EPOCHS --batch_size 16 --lr 3e-4 \
     --main_metric val_roc_auc --main_metric_goal max \

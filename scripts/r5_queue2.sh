@@ -37,13 +37,13 @@ if [ ! -s results/lmax2_cost.json ]; then
   bash scripts/run_watchdog.sh python scripts/profile_lmax2.py || true
 fi
 
-echo "=== 3. side-chain extension chain ==="
-EPOCHS2=${EPOCHS2:-300} bash scripts/r5_extend_sc.sh || true
-
-echo "=== 4. affinity 2-seed rerun ==="
+# (the side-chain extension chain runs concurrently with the r5_queue's
+# CPU-bound filtering featurization — launched separately, see /tmp/r5_extend.log;
+# its stages resume via output-existence guards if relaunched)
+echo "=== 3. affinity 2-seed rerun ==="
 bash scripts/r5_affinity_seeds.sh || true
 
-echo "=== 5. confidence ablation ==="
+echo "=== 4. confidence ablation ==="
 bash scripts/confidence_ablation.sh || true
 
 echo "=== r5 queue2 done ==="
