@@ -25,8 +25,11 @@ GEN_SPC=${GEN_SPC:-16}
 SPC=${SPC:-16}
 CONF_EPOCHS=${CONF_EPOCHS:-80}
 
-# ---- extra generation rounds (seeds 3, 4) -----------------------------------
-for ID in 3 4; do
+# ---- extra generation rounds (seeds 5, 6) -----------------------------------
+# (ids 3/4 belong to the score_ext extension chain — scripts/r5_extend_sc.sh
+# generates them with a DIFFERENT score model into the same cache dir, so
+# this ablation of the ep400 `score` model must use its own ids)
+for ID in 5 6; do
   if [ ! -f $C/cache_filtering/poses/train/poses_id$ID.pkl ]; then
     bash scripts/run_watchdog.sh python filtering_train.py \
       --original_model_dir $W/score --ckpt best_ema_inference_epoch_model \
@@ -40,8 +43,8 @@ for ID in 3 4; do
 done
 
 SC_CUT=$(python scripts/pose_cache_stats.py \
-  $C/cache_filtering/poses/train/poses_id*.pkl \
-  $C/cache_filtering/poses/val/poses_id*.pkl | tail -1)
+  $C/cache_filtering/poses/train/poses_id[1256].pkl \
+  $C/cache_filtering/poses/val/poses_id[1256].pkl | tail -1)
 echo "=== ablation: sc cutoff $SC_CUT ==="
 
 train_variant() {  # name  cache_ids...
@@ -73,9 +76,9 @@ train_variant() {  # name  cache_ids...
     --flexible_sidechains --out_json $C/heldout_eval_conf_$name.json
 }
 
-train_variant seedB 3 4
+train_variant seedB 5 6
 train_variant n500 1
-train_variant n2000 1 2 3 4
+train_variant n2000 1 2 5 6
 
 # ---- summary -----------------------------------------------------------------
 C=$C python - <<'PYEOF'
