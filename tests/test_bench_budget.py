@@ -95,3 +95,38 @@ def test_best_payload_wins_across_draws(bench):
         max_attempts=3, budget_left_fn=lambda: 1e9, log=lambda m: None)
     assert n == 3
     assert result == 2.0
+
+
+def test_featurize_cache_roundtrip_and_invalidation(bench, tmp_path):
+    """_featurize_cached: host featurization is disk-cached keyed on the
+    input files' stat + featurizer source; a changed input invalidates."""
+    import shutil
+    import uuid
+
+    inp = tmp_path / "input.sdf"
+    inp.write_text("v1")
+    tag = f"t_{uuid.uuid4().hex[:8]}"
+    cache_dir = os.path.join(
+        os.path.dirname(bench.__file__), "results", "bench_feat_cache")
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return {"payload": len(calls)}
+
+    try:
+        first = bench._featurize_cached(tag, [str(inp)], builder)
+        again = bench._featurize_cached(tag, [str(inp)], builder)
+        assert first == {"payload": 1}
+        assert again == {"payload": 1}  # served from disk, builder not rerun
+        assert len(calls) == 1
+
+        inp.write_text("v2-different")  # size change -> new key
+        fresh = bench._featurize_cached(tag, [str(inp)], builder)
+        assert fresh == {"payload": 2}
+        assert len(calls) == 2
+    finally:
+        if os.path.isdir(cache_dir):
+            for f in os.listdir(cache_dir):
+                if f.startswith(tag):
+                    os.remove(os.path.join(cache_dir, f))
