@@ -130,6 +130,11 @@ def generate_poses(
             trajectory=traj,
             sc_trajectory=sc_traj,
         )
+        logger.info(
+            "poses %d/%d %s: rmsd best %.2f / median %.2f A",
+            n, len(dataset), data.name, float(rmsds.min()),
+            float(np.median(rmsds)),
+        )
     with open(path, "wb") as fh:
         pickle.dump(samples, fh)
     logger.info("generated poses for %d complexes -> %s", len(samples), path)

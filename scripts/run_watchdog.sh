@@ -6,6 +6,13 @@
 # 0% CPU, ROADMAP r2 operational note); a fresh process reconnects fine.
 RETRIES=${WATCHDOG_RETRIES:-3}
 STALL_S=${WATCHDOG_STALL_S:-600}
+# Heavy featurization fragments the glibc heap: 87 GB RSS observed on a
+# pose-generation stage holding ~3 MB of live graphs (transient numpy
+# buffers land on the brk heap and the freed space never returns to the
+# OS), which OOM-killed the stage on the 125 GB box at 07:08.  Force
+# allocations >=128 KB to mmap so frees are returned immediately.
+export MALLOC_MMAP_THRESHOLD_=131072
+export MALLOC_TRIM_THRESHOLD_=65536
 for try in $(seq 1 "$RETRIES"); do
   "$@" &
   PID=$!
