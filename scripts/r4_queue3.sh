@@ -17,7 +17,7 @@
 # Run detached: nohup bash scripts/r4_queue3.sh > /tmp/r4_queue3.log 2>&1 &
 #               echo $! > /tmp/r4_queue3.pid
 set -x
-cd "$(dirname "$0")/.." || exit 1
+cd "$(dirname "$0")/.." || exit 1 || exit 1
 
 echo "=== 1. bench matrix + lottery verification ==="
 bash scripts/r4_bench_matrix.sh || true
