@@ -109,6 +109,10 @@ def get_parser():
     p.add_argument("--temp_psi_sc_tor", type=float, default=0.579)
     p.add_argument("--temp_sigma_data", type=float, default=0.5)
     # outputs
+    p.add_argument("--cache_path", type=str, default=None,
+                   help="featurization cache dir (config-hashed, same "
+                        "contract as train.py --cache_path); default: no "
+                        "disk cache")
     p.add_argument("--out_dir", type=str, default="results/user_inference")
     p.add_argument("--save_visualisation", action="store_true")
     p.add_argument("--relax", action="store_true")
@@ -250,7 +254,8 @@ def main():
 
     data_cfg = inference_data_config(score_train_dc, args, DataConfig)
     esm_embeddings = resolve_esm(args, df, score_cfg_loaded, "score")
-    dataset = ds.DockingDataset(df, data_cfg, esm_embeddings=esm_embeddings)
+    dataset = ds.DockingDataset(df, data_cfg, cache_dir=args.cache_path,
+                                esm_embeddings=esm_embeddings)
 
     # separate featurization for the filtering model when its graph params
     # differ from the score model's (reference inference.py:396-429)
@@ -269,7 +274,8 @@ def main():
                 "featurizing a second dataset"
             )
             filtering_dataset = ds.DockingDataset(
-                df, conf_data_cfg, esm_embeddings=conf_esm
+                df, conf_data_cfg, cache_dir=args.cache_path,
+                esm_embeddings=conf_esm
             )
 
     # --- models ------------------------------------------------------------

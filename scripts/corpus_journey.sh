@@ -85,7 +85,7 @@ if [ ! -d $C/preds ]; then
     --score_model_dir $W/score --score_ckpt best_ema_inference_epoch_model \
     --filtering_model_dir $W/conf --filtering_ckpt best_model \
     --samples_per_complex $SPC --batch_size $SPC --inference_steps 20 \
-    --multi_complex_batching \
+    --multi_complex_batching --cache_path $C/cache_inf \
     --out_dir $C/preds
 fi
 
